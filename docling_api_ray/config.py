@@ -1,0 +1,47 @@
+"""Pipeline configuration — the batch-engine analog of the reference's
+per-request `ConversionOptions` (`api/models/schemas.py:110-124`): constant
+per job, closed over by the map_batches stages rather than carried per row.
+
+OCR / VLM knobs are accepted for surface parity but are no-ops in the
+deterministic core — in the reference they gate remote model services
+(`deployments/modal/modal_docling.py:109-179`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # ConversionOptions parity ------------------------------------------------
+    output_format: str = "markdown"  # markdown | json | both  (schemas.py:22-26)
+    enable_table_extraction: bool = True  # schemas.py:118; False demotes tables to text spans
+    enable_ocr: bool = False  # accepted, no-op (schemas.py:115)
+    force_full_page_ocr: bool = False  # accepted, no-op (schemas.py:116)
+    ocr_languages: tuple[str, ...] = ("eng",)  # accepted, no-op (schemas.py:117)
+    enable_vlm: bool = False  # accepted, no-op (schemas.py:119)
+
+    # Admission limits (gateway caps: 100 MB/file `api/config.py:56-59`,
+    # 500 pages/doc `api/routes/usage.py:169`). Oversized docs become error
+    # rows, not exceptions (errors-as-data).
+    max_doc_bytes: int = 100 * 1024 * 1024
+    max_pages: int = 500
+
+    # Execution knobs (deploy-env analog: workers/threads,
+    # `deployments/lightning/lightning.yaml:45-61`).
+    batch_size: int = 256  # documents per batch into the extractor pool
+    extractor_concurrency: tuple[int, int] = (2, 8)  # actor-pool autoscale (min,max)
+    extractor_num_cpus: float = 1.0
+
+    # Skew handling: documents with more than `giant_span_threshold` spans
+    # take the split → extract → groupby(doc_id) reassemble path.
+    giant_span_threshold: int = 96
+    giant_chunk_spans: int = 32
+
+    # Credits arithmetic parity (`api/routes/documents.py:35-41`).
+    credits_per_page: int = 1
+    min_credits_per_document: int = 1
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,240 @@
+"""Pure-Python single-process reference extractor (the correctness oracle).
+
+Implements the spec in `spec.py` the *obvious* way — build an element tree,
+recursively walk it — mirroring how the reference validated conversions
+only end-to-end (markdown-length equality `scripts/test_production.py:302`,
+substring presence `:358-361`) but much stronger: tests assert
+span-sequence equality on (kind, text, media_ref, order) per doc between
+this oracle and the Ray pipeline (which uses an independent streaming
+parser, `stages/html_extract.py`).
+
+Row-at-a-time and deliberately unoptimized; never used in the data plane.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .spec import (
+    BLOCKISH_TAGS,
+    BOILER_CLASS_TOKENS,
+    CONTAINER_TAGS,
+    ERR_TOO_LARGE,
+    ERR_TOO_MANY_PAGES,
+    ERR_UNKNOWN_KIND,
+    HEADING_TAGS,
+    LINK_DENSITY_MAX,
+    PARAGRAPH_TAGS,
+    SKIP_TAGS,
+    collapse,
+    extract_pdf_table,
+    extract_pdf_text,
+    format_table,
+)
+from .schema import INPUT_KINDS
+
+VOID_TAGS = frozenset(
+    {"br", "img", "hr", "input", "meta", "link", "area", "base", "col", "embed",
+     "source", "track", "wbr"}
+)
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str | None]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # _Node | str
+
+
+class _TreeBuilder(HTMLParser):
+    """Build a simple element tree (best-effort on malformed input)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        if tag in VOID_TAGS:
+            self.handle_startendtag(tag, attrs)
+            return
+        # omitted-end-tag rule for <p>
+        if tag == "p" and self.stack[-1].tag == "p":
+            self.stack.pop()
+        node = _Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        if tag == "br":
+            self.stack[-1].children.append(" ")
+        else:
+            self.stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        self.stack[-1].children.append(data)
+
+
+def _is_boiler(node: _Node) -> bool:
+    if node.tag in SKIP_TAGS:
+        return True
+    for attr in ("class", "id"):
+        v = node.attrs.get(attr)
+        if v:
+            for tok in v.lower().split():
+                if tok in BOILER_CLASS_TOKENS:
+                    return True
+    return False
+
+
+def _gather_text(node: _Node, in_link: bool, all_parts: list[str], link_parts: list[str]) -> None:
+    for c in node.children:
+        if isinstance(c, str):
+            all_parts.append(c)
+            if in_link:
+                link_parts.append(c)
+        elif not _is_boiler(c):
+            _gather_text(c, in_link or c.tag == "a", all_parts, link_parts)
+
+
+def _subtree_text(node: _Node) -> tuple[str, float]:
+    """(collapsed text, link density)."""
+    all_parts: list[str] = []
+    link_parts: list[str] = []
+    _gather_text(node, node.tag == "a", all_parts, link_parts)
+    text = collapse("".join(all_parts))
+    total = len(text)
+    link = len(collapse("".join(link_parts)))
+    density = (link / total) if total else 1.0
+    return text, density
+
+
+def _table_rows(node: _Node) -> list[list[str]]:
+    rows: list[list[str]] = []
+
+    def walk(n: _Node) -> None:
+        for c in n.children:
+            if isinstance(c, str) or _is_boiler(c):
+                continue
+            if c.tag == "tr":
+                row = []
+                for cell in c.children:
+                    if isinstance(cell, _Node) and cell.tag in ("td", "th"):
+                        row.append(_subtree_text(cell)[0])
+                rows.append(row)
+            else:
+                walk(c)
+
+    walk(node)
+    return [r for r in rows if r]
+
+
+def _has_blockish_child(node: _Node) -> bool:
+    return any(isinstance(c, _Node) and c.tag in BLOCKISH_TAGS for c in node.children)
+
+
+def extract_html(payload: str, cfg: PipelineConfig) -> list[tuple[str, str]]:
+    """HTML fragment → [(kind, text)] per the spec, via tree walk."""
+    builder = _TreeBuilder()
+    builder.feed(payload)
+    builder.close()
+    out: list[tuple[str, str]] = []
+
+    def emit_paragraph(node: _Node) -> None:
+        text, density = _subtree_text(node)
+        if text and density <= LINK_DENSITY_MAX:
+            out.append(("text", text))
+
+    def walk(node: _Node) -> None:
+        for c in node.children:
+            if isinstance(c, str):
+                continue  # bare text outside blocks is ignored
+            if _is_boiler(c):
+                continue
+            if c.tag in HEADING_TAGS:
+                text, _ = _subtree_text(c)
+                if text:
+                    out.append(("heading", text))
+            elif c.tag == "table":
+                fmt = format_table(_table_rows(c), cfg.enable_table_extraction)
+                if fmt:
+                    out.append(fmt)
+            elif c.tag in PARAGRAPH_TAGS:
+                emit_paragraph(c)
+            elif c.tag in CONTAINER_TAGS:
+                if _has_blockish_child(c):
+                    walk(c)
+                else:
+                    emit_paragraph(c)
+            else:
+                walk(c)
+
+    walk(builder.root)
+    return out
+
+
+def extract_document(
+    doc_id: str, spans: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG
+) -> dict:
+    """One input row → one RESULT_SCHEMA row (plain dict)."""
+    ordered = sorted(enumerate(spans), key=lambda t: (t[1]["offset"], t[0]))
+    total_bytes = 0
+    pages = 1
+    out: list[dict] = []
+    try:
+        for _, sp in ordered:
+            kind = sp["kind"]
+            if kind not in INPUT_KINDS:
+                return _error_row(doc_id, ERR_UNKNOWN_KIND.format(kind=repr(kind)))
+            text = sp["text"] or ""
+            total_bytes += len(text.encode("utf-8", errors="replace"))
+            if total_bytes > cfg.max_doc_bytes:
+                return _error_row(doc_id, ERR_TOO_LARGE)
+            if kind == "page_break":
+                pages += 1
+                if pages > cfg.max_pages:
+                    return _error_row(doc_id, ERR_TOO_MANY_PAGES)
+            elif kind == "image":
+                out.append(_span("picture", "", sp["media_ref"] or "", len(out)))
+            elif kind == "html":
+                for k, t in extract_html(text, cfg):
+                    out.append(_span(k, t, "", len(out)))
+            elif kind == "pdf_text":
+                for k, t in extract_pdf_text(text):
+                    out.append(_span(k, t, "", len(out)))
+            elif kind == "pdf_table":
+                fmt = extract_pdf_table(text, cfg.enable_table_extraction)
+                if fmt:
+                    out.append(_span(fmt[0], fmt[1], "", len(out)))
+    except Exception as exc:  # errors-as-data: never raise per row
+        return _error_row(doc_id, f"{type(exc).__name__}: {exc}")
+    return {
+        "doc_id": doc_id,
+        "spans": out,
+        "pages": pages,
+        "status": "success",
+        "error": "",
+    }
+
+
+def _span(kind: str, text: str, media_ref: str, offset: int) -> dict:
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def _error_row(doc_id: str, error: str) -> dict:
+    return {"doc_id": doc_id, "spans": [], "pages": 0, "status": "error", "error": error}
+
+
+def extract_corpus(rows: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:
+    """Whole-corpus oracle, sequential."""
+    return [extract_document(r["doc_id"], r["spans"], cfg) for r in rows]

@@ -1,0 +1,174 @@
+"""The extraction-semantics contract (shared constants only).
+
+Both the pure-Python oracle (`oracle.py`, tree-walking, row-at-a-time) and
+the Ray engine stages (`stages/`, streaming single-pass) implement THIS
+spec independently; tests assert they agree span-for-span. The spec models
+the observable behavior of the reference's conversion core — Docling's
+ordered-content export (`/root/reference/deployments/modal/modal_docling.py:239-256`,
+recorded outputs in `scripts/test_full.ipynb` cells 32/36) — with
+Readability/trafilatura-style boilerplate heuristics for HTML (per the
+north rule in BASELINE.json).
+
+HTML (`kind="html"`), walking the element tree in document order:
+  1. Skip entire subtrees of SKIP_TAGS and of any element whose class/id
+     attribute contains a BOILER_CLASS_TOKENS token (whitespace-split,
+     case-insensitive exact token match).
+  2. h1-h6 → heading span; text = whitespace-collapsed subtree text; no
+     spans are emitted from inside a heading. Empty headings dropped.
+  3. table → one table span; rows = <tr>, cells = <td>/<th> collapsed
+     text, formatted by `format_table`. No spans from inside a table.
+  4. p / li → text span if collapsed subtree text is non-empty AND link
+     density ≤ LINK_DENSITY_MAX. Link density = len(collapse(text within
+     <a> descendants)) / len(collapse(all text)), computed on the raw
+     concatenations (chunking-invariant). No spans from inside.
+  5. div / section / article / blockquote: if the element has a block-ish
+     child element (BLOCKISH_TAGS), recurse into children (its own bare
+     text is ignored); else treat the element like a paragraph (rule 4).
+  6. All other elements: recurse. Bare text not inside any block is
+     ignored. <br> contributes a single space. An open <p> is implicitly
+     closed by a new <p> (HTML omitted-end-tag rule).
+  7. Entities are decoded (&amp; → &). collapse(s) = " ".join(s.split()).
+
+pdf_text (`kind="pdf_text"`): split on "\n"; a stripped line matching
+  1-6 '#' + space → flush paragraph, emit heading with the remainder
+  (stripped); blank line → flush paragraph; otherwise accumulate the
+  stripped line. Paragraph text = " ".join(lines); emitted as a text span
+  if non-empty; flush at end of payload.
+
+pdf_table (`kind="pdf_table"`): non-blank lines split on "|", cells
+  stripped → `format_table`.
+
+image → picture span (text="", media_ref preserved — the span-linking
+  invariant, SURVEY.md §2.4 J4). page_break → no span;
+  pages = 1 + count(page_break) (`modal_docling.py:245`; fallback-to-1
+  semantics `docling_client.py:444-449`). Output offsets dense 0..n-1.
+
+Errors-as-data (`docling_client.py:362-380`): unknown span kind, payload
+over `max_doc_bytes`, or page count over `max_pages` → the whole document
+becomes (spans=[], pages=0, status="error", error=<message>); never an
+exception.
+
+Table formatting (`format_table`): with table extraction enabled, a
+markdown pipe table — "| c1 | c2 |" per row with a "| --- | --- |"
+separator (arity of the first row) after row 1 → kind "table"; disabled
+(`enable_table_extraction=False`, reference `api/models/schemas.py:118`),
+the table demotes to a plain text span — cells joined by " ", rows by
+"\n".
+"""
+
+from __future__ import annotations
+
+SKIP_TAGS = frozenset(
+    {
+        "script",
+        "style",
+        "nav",
+        "footer",
+        "header",
+        "aside",
+        "form",
+        "noscript",
+        "iframe",
+        "button",
+        "svg",
+        "template",
+    }
+)
+
+BOILER_CLASS_TOKENS = frozenset(
+    {
+        "nav",
+        "navbar",
+        "menu",
+        "footer",
+        "sidebar",
+        "banner",
+        "breadcrumb",
+        "breadcrumbs",
+        "cookie",
+        "promo",
+        "ad",
+        "ads",
+        "advert",
+        "social",
+        "share",
+        "comment",
+        "comments",
+    }
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+PARAGRAPH_TAGS = frozenset({"p", "li"})
+CONTAINER_TAGS = frozenset({"div", "section", "article", "blockquote", "main"})
+
+# Children that make a div/section/article a container rather than a leaf
+# paragraph block.
+BLOCKISH_TAGS = (
+    HEADING_TAGS
+    | PARAGRAPH_TAGS
+    | CONTAINER_TAGS
+    | SKIP_TAGS
+    | {"table", "ul", "ol", "dl", "pre", "figure"}
+)
+
+LINK_DENSITY_MAX = 0.5
+
+ERR_UNKNOWN_KIND = "unknown span kind: {kind}"
+ERR_TOO_LARGE = "document exceeds max_doc_bytes"
+ERR_TOO_MANY_PAGES = "document exceeds max_pages"
+
+
+def collapse(s: str) -> str:
+    """Whitespace-normalize: collapse runs to single spaces, strip."""
+    return " ".join(s.split())
+
+
+def format_table(rows: list[list[str]], enabled: bool) -> tuple[str, str] | None:
+    """(kind, text) for a table's cell matrix, or None if empty."""
+    rows = [r for r in rows if r]
+    if not rows:
+        return None
+    if enabled:
+        lines = ["| " + " | ".join(rows[0]) + " |"]
+        lines.append("| " + " | ".join(["---"] * len(rows[0])) + " |")
+        for r in rows[1:]:
+            lines.append("| " + " | ".join(r) + " |")
+        return ("table", "\n".join(lines))
+    return ("text", "\n".join(" ".join(r) for r in rows))
+
+
+def extract_pdf_text(payload: str) -> list[tuple[str, str]]:
+    """pdf_text lines → [(kind, text)] per the spec. Shared helper — this
+    rule is trivial enough that spec == implementation."""
+    out: list[tuple[str, str]] = []
+    para: list[str] = []
+
+    def flush() -> None:
+        if para:
+            out.append(("text", " ".join(para)))
+            para.clear()
+
+    for line in payload.split("\n"):
+        stripped = line.strip()
+        if stripped.startswith("#"):
+            n = len(stripped) - len(stripped.lstrip("#"))
+            if 1 <= n <= 6 and len(stripped) > n and stripped[n] == " ":
+                flush()
+                head = stripped[n + 1 :].strip()
+                if head:
+                    out.append(("heading", head))
+                continue
+        if not stripped:
+            flush()
+        else:
+            para.append(stripped)
+    flush()
+    return out
+
+
+def extract_pdf_table(payload: str, enabled: bool) -> tuple[str, str] | None:
+    rows = []
+    for line in payload.split("\n"):
+        if line.strip():
+            rows.append([c.strip() for c in line.split("|")])
+    return format_table(rows, enabled)

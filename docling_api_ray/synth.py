@@ -1,0 +1,213 @@
+"""Deterministic synthetic corpus of interleaved text+media documents.
+
+Shape per BASELINE.json `input_hint`: (doc_id: string, spans:
+list<struct<kind, text, media_ref, offset>>). Content is a pure function of
+(seed, doc_index) — `random.Random(f"{seed}:{index}")` per document — so any
+subset can be generated independently, in any order, on any worker
+(distributed generation via `ray.data.range(n).map_batches`).
+
+The mix mirrors the reference's supported input formats (PDF / HTML /
+images / tables, /root/reference/README.md:7-9): `html` fragments carry
+boilerplate (nav/footer/aside/script + link-heavy blocks) around main
+content; `pdf_text` pages carry `#`-marked headings and blank-line
+paragraphs; `pdf_table` carries pipe-delimited rows; `image` spans carry an
+opaque media_ref; `page_break` spans drive the page count
+(`modal_docling.py:245`). A seeded ~1% of docs are poison (unknown span
+kind) and must become error rows, not exceptions
+(`docling_client.py:362-380`). A seeded heavy tail of giant docs
+(100-1000 spans) exercises the skew/repartition path.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+from .schema import DOCUMENTS_SCHEMA
+
+WORDS = (
+    "data engine span batch arrow stream table layout page figure heading "
+    "pipeline shuffle block actor worker vector column record schema parse "
+    "model index token corpus sample output result format media document"
+).split()
+
+BOILER_NAV = (
+    '<nav class="nav"><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/docs">Docs</a></nav>'
+)
+BOILER_FOOTER = "<footer><p>Copyright 2026 Example Corp. All rights reserved.</p></footer>"
+BOILER_SCRIPT = "<script>var t = 1; trackPage(t);</script>"
+BOILER_ASIDE = '<aside class="sidebar"><p>Related links and promo content</p></aside>'
+
+POISON_KIND = "blob"  # not in INPUT_KINDS → must yield status="error"
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    ws = [rng.choice(WORDS) for _ in range(n_words)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng, rng.randint(4, 12)) for _ in range(rng.randint(1, 4)))
+
+
+def _html_fragment(rng: random.Random, marker: str | None) -> str:
+    """A well-formed HTML fragment: boilerplate around main content."""
+    parts = []
+    if rng.random() < 0.7:
+        parts.append(BOILER_NAV)
+    if rng.random() < 0.3:
+        parts.append(BOILER_SCRIPT)
+    if rng.random() < 0.3:
+        parts.append(BOILER_ASIDE)
+    level = rng.randint(1, 3)
+    parts.append(f"<h{level}>{_sentence(rng, rng.randint(2, 6))[:-1]}</h{level}>")
+    for _ in range(rng.randint(1, 4)):
+        p = _paragraph(rng)
+        if marker:
+            p = p + " " + marker
+            marker = None
+        if rng.random() < 0.2:  # escaped entities must round-trip
+            p += " Q&amp;A &lt;spans&gt;."
+        parts.append(f"<p>{p}</p>")
+    if rng.random() < 0.25:  # link-farm block: high link density → stripped
+        links = " ".join(
+            f'<a href="/{w}">{w} more</a>' for w in rng.sample(WORDS, 4)
+        )
+        parts.append(f'<div class="links">{links}</div>')
+    if rng.random() < 0.3:
+        rows = []
+        ncol = rng.randint(2, 4)
+        for r in range(rng.randint(2, 4)):
+            cells = "".join(f"<td>{rng.choice(WORDS)} {r}</td>" for _ in range(ncol))
+            rows.append(f"<tr>{cells}</tr>")
+        parts.append(f"<table>{''.join(rows)}</table>")
+    if rng.random() < 0.6:
+        parts.append(BOILER_FOOTER)
+    return "".join(parts)
+
+
+def _pdf_text_page(rng: random.Random, marker: str | None) -> str:
+    lines = []
+    if rng.random() < 0.8:
+        lines.append("#" * rng.randint(1, 3) + " " + _sentence(rng, rng.randint(2, 5))[:-1])
+        lines.append("")
+    for _ in range(rng.randint(1, 3)):
+        para = _paragraph(rng)
+        if marker:
+            para = para + " " + marker
+            marker = None
+        # wrap into hard lines of ~6 words, blank line terminates the paragraph
+        toks = para.split()
+        for i in range(0, len(toks), 6):
+            lines.append(" ".join(toks[i : i + 6]))
+        lines.append("")
+    return "\n".join(lines).rstrip("\n")
+
+
+def _pdf_table(rng: random.Random) -> str:
+    ncol = rng.randint(2, 5)
+    rows = [" | ".join(rng.choice(WORDS) for _ in range(ncol)) for _ in range(rng.randint(2, 5))]
+    return "\n".join(rows)
+
+
+def marker_for(doc_id: str) -> str:
+    """Seeded marker string for substring-accuracy checks (the reference's
+    accuracy oracle, `scripts/test_production.py:358-361`)."""
+    return f"xmark-{doc_id}"
+
+
+def make_doc(seed: int, index: int) -> dict:
+    """Generate one document — pure function of (seed, index)."""
+    rng = random.Random(f"{seed}:{index}")
+    doc_id = f"doc-{index:08d}"
+    poison = rng.random() < 0.01
+    giant = rng.random() < 0.02
+    if giant:
+        n_spans = rng.randint(100, 1000)
+    else:
+        n_spans = rng.randint(3, 40)
+    marker: str | None = marker_for(doc_id)
+    spans = []
+    for off in range(n_spans):
+        r = rng.random()
+        if r < 0.35:
+            spans.append(("html", _html_fragment(rng, marker), ""))
+            marker = None
+        elif r < 0.65:
+            spans.append(("pdf_text", _pdf_text_page(rng, marker), ""))
+            marker = None
+        elif r < 0.78:
+            spans.append(("pdf_table", _pdf_table(rng), ""))
+        elif r < 0.90:
+            spans.append(("image", "", f"img-{doc_id}-{off}"))
+        else:
+            spans.append(("page_break", "", ""))
+    if poison:
+        pos = rng.randrange(len(spans))
+        spans[pos] = (POISON_KIND, "\x00garbage payload\x00", "")
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": np.int32(i)}
+            for i, (k, t, m) in enumerate(spans)
+        ],
+    }
+
+
+def make_table(seed: int, start: int, count: int) -> pa.Table:
+    """Arrow table of documents [start, start+count) — used per batch in
+    distributed generation and directly in tests."""
+    rows = [make_doc(seed, i) for i in range(start, start + count)]
+    return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def generate_dataset(n_docs: int, seed: int = 42, parallelism: int = -1):
+    """Distributed deterministic generation as a ray.data.Dataset.
+
+    `ray.data.range(n)` supplies indices; each batch is generated
+    independently (no driver-side loop, no shared state)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        rows = [make_doc(seed, i) for i in ids]
+        return pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+
+    n_blocks = parallelism if parallelism > 0 else max(8, n_docs // 500)
+    ds = rd.range(n_docs, override_num_blocks=n_blocks)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=500)
+
+
+def write_corpus(path: str, n_docs: int, seed: int = 42, num_files: int = 0) -> list[str]:
+    """Write the corpus as partitioned parquet (one directory, many part
+    files — resumable-output layout). Returns the file paths."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    if num_files <= 0:
+        num_files = max(1, n_docs // 2000)
+    per = (n_docs + num_files - 1) // num_files
+    paths = []
+    for f in range(num_files):
+        start = f * per
+        count = min(per, n_docs - start)
+        if count <= 0:
+            break
+        p = os.path.join(path, f"part-{f:05d}.parquet")
+        tbl = make_table(seed, start, count)
+        # `n_spans` layout column: enables parquet row-group predicate
+        # pushdown for the pipeline's small/giant branch point
+        import pyarrow.compute as pc
+
+        tbl = tbl.append_column(
+            "n_spans", pc.cast(pc.list_value_length(tbl["spans"]), pa.int32())
+        )
+        pq.write_table(tbl, p, row_group_size=200)
+        paths.append(p)
+    return paths
