@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray itself before importing this module; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship extraction pipeline over a deterministic interleaved
+  corpus sized from /root/testdata/sf0.001 (the corpus shape is
+  BASELINE.json input_hint; testdata has no interleaved table, so it is
+  synthesized — seeded, cached).
+- queries(): one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data operator set).
+- oracle_sql(): DuckDB equivalents for every SQL-expressible query
+  (column names match exactly). Extraction / MinHash / SimHash / LangId /
+  IVF are rows-only by nature (non-SQL-expressible); their strong
+  correctness gates are in tests/ (span-equality vs the pure-Python
+  oracle, recall bounds).
 """
 
 from __future__ import annotations
@@ -21,24 +24,18 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from docling_api_ray.pipelines.extraction_queries import q_extract_documents
+
+    return q_extract_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from docling_api_ray.registry import all_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docling_api_ray.registry import all_oracles
+
+    return all_oracles()

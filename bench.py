@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline extraction pipeline + representative queries
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1) with
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: run the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input (two-cluster-size evidence
+per BASELINE.md) and print throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q6_revenue_filter",
+    "q_sort_topk_lineitem",
+    "q_events_hourly",
+    "q_events_sessionize",
+    "q_doc_token_counts",
+    "q_doc_exact_dedup",
+    "q_doc_minhash_pairs",
+    "q_ann_topk",
+    "q_embedding_near_dup",
+]
+
+
+def consume(res) -> int:
+    """Fully consume a result without driver-side materialization bloat."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    n = 0
+    for b in res.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def run_headline() -> tuple[float, int]:
+    import shutil
+
+    from docling_api_ray.config import PipelineConfig
+    from docling_api_ray.pipelines.extraction import build_extraction
+    from docling_api_ray.pipelines.extraction_queries import corpus_for
+
+    path = corpus_for(SF_DIR)  # cached, not timed
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for root, _, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    out_dir = f"/tmp/bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = PipelineConfig(
+        extractor_concurrency=(2, max(2, NUM_CPUS - 2)),
+        batch_size=128,
+    )
+    t0 = time.time()
+    ds = build_extraction(path, cfg)
+    ds.write_parquet(out_dir)
+    sec = time.time() - t0
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    return sec, rows
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from docling_api_ray.registry import all_queries
+
+    headline_sec, rows = run_headline()
+    queries = all_queries()
+    q_times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        consume(queries[name](SF_DIR))
+        q_times[name] = round(time.time() - t0, 3)
+    ray.shutdown()
+    return {
+        "metric": "extraction_wall_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": rows,
+        "docs_per_sec": round(rows / headline_sec, 2),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    thr_lo, thr_hi = lo["docs_per_sec"], hi["docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": thr_lo,
+        "docs_per_sec_32": thr_hi,
+        "docs": hi["docs"],
+        "sf": SF_DIR,
+    }
+
+
+def run_headline_only() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sec, rows = run_headline()
+    ray.shutdown()
+    return {
+        "metric": "extraction_wall_sec",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "docs": rows,
+        "docs_per_sec": round(rows / sec, 2),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(run_headline_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -31,7 +31,7 @@ class PipelineConfig:
     # Execution knobs (deploy-env analog: workers/threads,
     # `deployments/lightning/lightning.yaml:45-61`).
     batch_size: int = 256  # documents per batch into the extractor pool
-    extractor_concurrency: tuple[int, int] = (2, 8)  # actor-pool autoscale (min,max)
+    extractor_concurrency: tuple[int, int] = (1, 8)  # actor-pool autoscale (min,max)
     extractor_num_cpus: float = 1.0
 
     # Skew handling: documents with more than `giant_span_threshold` spans

@@ -1,0 +1,62 @@
+"""CLI entry for `ray job submit` / standalone runs.
+
+Usage:
+    python -m docling_api_ray.job --input DIR --output DIR [--n-docs N]
+        [--wave-size W] [--tables/--no-tables] [--format markdown|json|both]
+
+Owns its Ray session (the library never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Ray-Data document extraction job")
+    ap.add_argument("--input", required=True, help="corpus dir of parquet shards")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-docs", type=int, default=0, help="synthesize a corpus of N docs into --input first")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--wave-size", type=int, default=16)
+    ap.add_argument("--format", default="markdown", choices=["markdown", "json", "both"])
+    ap.add_argument("--no-tables", action="store_true")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import PipelineConfig
+    from .state.checkpoint import run_job
+    from .synth import write_corpus
+
+    if args.n_docs:
+        os.makedirs(args.input, exist_ok=True)
+        write_corpus(args.input, args.n_docs, seed=args.seed)
+
+    paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    cfg = PipelineConfig(
+        output_format=args.format,
+        enable_table_extraction=not args.no_tables,
+        extractor_concurrency=(2, max(2, args.num_cpus - 2)),
+    )
+    summary = run_job(paths, args.output, cfg, wave_size=args.wave_size)
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

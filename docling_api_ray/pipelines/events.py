@@ -1,0 +1,121 @@
+"""Stream-shaped operators over the `events` table.
+
+Ray Data is a batch engine; the reference has no true streaming either
+(SURVEY.md §2.9 — its async endpoint is job polling, not a stream). These
+queries treat `events` as an ordered, user-partitioned log: tumbling
+windows become epoch-bucket groupbys; sessionization is
+`groupby(user_id).map_groups` over ts-sorted groups (ordering assumption:
+within one user's group we sort by ts; equal timestamps are
+session-equivalent so ties don't affect results)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+from .util import epoch_seconds, read, round_col
+
+SESSION_GAP_S = 1800  # 30 minutes
+
+
+def q_events_hourly(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.multiply(pc.divide(epoch_seconds(t["ts"]), 3600), 3600)
+        return pa.table(
+            {"event_type": t["event_type"], "hour_start": hour, "value": t["value"]}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+    return out.map_batches(
+        lambda t: round_col(t, "total_value", 2), batch_format="pyarrow"
+    )
+
+
+HOURLY_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_user_stats(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["user_id", "value", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "value": t["value"], "ts_s": epoch_seconds(t["ts"])}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Mean("value", alias_name="avg_value"),
+            Max("ts_s", alias_name="last_ts"),
+        )
+    )
+    return out.map_batches(lambda t: round_col(t, "avg_value", 4), batch_format="pyarrow")
+
+
+USER_STATS_SQL = """
+SELECT user_id, count(*) AS n_events, round(avg(value), 4) AS avg_value,
+       epoch_us(max(ts)) // 1000000 AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > SESSION_GAP_S)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM marked GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "q_events_hourly": q_events_hourly,
+    "q_events_user_stats": q_events_user_stats,
+    "q_events_sessionize": q_events_sessionize,
+}
+
+ORACLE = {
+    "q_events_hourly": HOURLY_SQL,
+    "q_events_user_stats": USER_STATS_SQL,
+    "q_events_sessionize": SESSIONIZE_SQL,
+}

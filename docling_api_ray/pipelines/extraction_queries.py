@@ -1,0 +1,85 @@
+"""Driver-facing entries for the flagship extraction pipeline.
+
+The extraction core runs over the interleaved-span corpus (BASELINE.json
+`input_hint` shape), which the testdata directory does not contain — so
+each entry synthesizes the corpus deterministically, sized from the
+`documents` table of the given sf_dir (seeded; cached under /tmp by size).
+Not SQL-expressible → rows-only driver check; the strong span-equality
+gate lives in pytest (tests/test_pipeline.py) per FIXTURES.md.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import synth
+from ..config import PipelineConfig
+from .extraction import build_extraction
+
+SEED = 42
+
+
+def corpus_for(sf_dir: str, factor: int = 4) -> str:
+    """Deterministic corpus dir for an sf_dir; n_docs = factor × rows of
+    the documents table (so corpus size scales with sf)."""
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_docs = n * factor
+    path = f"/tmp/docling_ray_corpus/n{n_docs}_s{SEED}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        synth.write_corpus(path, n_docs, seed=SEED, num_files=max(4, n_docs // 2000))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def flatten(batch: pa.Table) -> pa.Table:
+    """Flat projection of the extraction result (driver-friendly types)."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "pages": batch["pages"],
+            "status": batch["status"],
+            "error": batch["error"],
+            "n_spans": pc.cast(pc.list_value_length(batch["spans"]), pa.int32()),
+            "markdown": batch["markdown"],
+        }
+    )
+
+
+def q_extract_documents(sf_dir: str):
+    """Flagship: synth corpus → full extraction pipeline → flat results."""
+    path = corpus_for(sf_dir)
+    ds = build_extraction(path, PipelineConfig())
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_extract_kind_stats(sf_dir: str):
+    """Distribution of extracted span kinds (small aggregate result)."""
+    from ray.data.aggregate import Count, Sum
+
+    path = corpus_for(sf_dir)
+    ds = build_extraction(path, PipelineConfig(), serialize=False)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        kinds = []
+        for spans in batch["spans"].to_pylist():
+            kinds.extend(s["kind"] for s in spans)
+        return pa.table({"kind": pa.array(kinds, type=pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow").groupby("kind").aggregate(
+        Count(alias_name="n_spans")
+    )
+
+
+QUERIES = {
+    "q_extract_documents": q_extract_documents,
+    "q_extract_kind_stats": q_extract_kind_stats,
+}
+
+ORACLE: dict[str, str] = {}  # rows-only: corpus is not visible to DuckDB

@@ -1,0 +1,585 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables.
+
+These queries exercise the engine's relational surface — filters,
+projections, grouped aggregation (partial-per-block + shuffle merge),
+sorts/top-k, distinct, broadcast joins, hash-partitioned joins, semi/anti
+joins — each with a DuckDB oracle (see ORACLE) for the driver's
+correctness gate. They generalize the reference's control-plane operators
+(SURVEY.md §2.2/§2.4/§2.5/§2.6: aggregations `api/routes/documents.py:76-78`,
+usage rollups `api/services/key_service.py:166-179`, sort+limit
+`key_service.py:143` / `api/routes/usage.py:94`, key lookups as joins
+`key_service.py:53-65`).
+
+Scale notes: dimension tables (region/nation/customer/supplier/part) are
+broadcast via ray.put and joined with in-batch lookups — no shuffle;
+lineitem⋈orders uses Ray's hash-partitioned Dataset.join; aggregates ride
+Ray's partial/final groupby. Column names match ORACLE exactly (driver
+hashes sorted-by-name columns). Money aggregates are rounded to 2 digits
+on both sides.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from .util import agg_to_table, broadcast, read, read_small, round_col
+
+CUT = datetime(1998, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter → grouped aggregate
+def q1_pricing_summary(sf_dir: str):
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(CUT)))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        for c, d in [
+            ("sum_qty", 2),
+            ("sum_base_price", 2),
+            ("sum_disc_price", 2),
+            ("avg_qty", 4),
+        ]:
+            t = round_col(t, c, d)
+        return t
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)                        AS avg_qty,
+       count(*)                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6-style: predicate filter → global scalar aggregate
+def q6_revenue_filter(sf_dir: str):
+    ds = read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t["l_quantity"], 24.0),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], 0.05),
+                pc.less_equal(t["l_discount"], 0.07),
+            ),
+        )
+        t = t.filter(m)
+        return t.append_column(
+            "rev", pc.multiply(t["l_extendedprice"], t["l_discount"])
+        )
+
+    res = ds.map_batches(prep, batch_format="pyarrow").aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+    out = agg_to_table({"revenue": res["revenue"]}, ["revenue"])
+    return round_col(out, "revenue", 2)
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3-style: broadcast semi-join (customer segment) + grouped agg + top-k
+def q3_top_orders(sf_dir: str):
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    cust_ref = broadcast(building)
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(cust_ref)
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT)))
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
+        return t.filter(mask)
+
+    okeys_tbl = orders.map_batches(filt_orders, batch_format="pyarrow")
+    # small side after filtering → broadcast orderkey set to the lineitem scan
+    okeys = set()
+    for b in okeys_tbl.iter_batches(batch_format="pyarrow"):
+        okeys.update(b["o_orderkey"].to_pylist())
+    okeys_ref = broadcast(okeys)
+
+    li = read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def filt_li(t: pa.Table) -> pa.Table:
+        keys = ray.get(okeys_ref)
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(CUT)))
+        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(list(keys), type=pa.int64()))
+        t = t.filter(mask)
+        return t.append_column(
+            "rev", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        )
+
+    out = (
+        li.map_batches(filt_li, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    t = out.take_all()
+    tbl = pa.Table.from_pylist(t)
+    tbl = tbl.rename_columns(["o_orderkey", "revenue"])
+    return round_col(tbl, "revenue", 2)
+
+
+Q3_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style: hash-partitioned Dataset.join (lineitem⋈orders) + broadcast dims
+def q5_region_revenue(sf_dir: str):
+    nation = read_small(sf_dir, "nation")
+    region = read_small(sf_dir, "region")
+    supplier = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    customer = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n_region = {
+        nk: rmap[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    asia_nations = {nk for nk, r in n_region.items() if r == "ASIA"}
+    supp_nation = {
+        sk: nk
+        for sk, nk in zip(supplier["s_suppkey"].to_pylist(), supplier["s_nationkey"].to_pylist())
+        if nk in asia_nations
+    }
+    cust_nation = {
+        ck: nk
+        for ck, nk in zip(customer["c_custkey"].to_pylist(), customer["c_nationkey"].to_pylist())
+        if nk in asia_nations
+    }
+    dims = broadcast((supp_nation, cust_nation, n_name))
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        _, cn, _ = ray.get(dims)
+        t = t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT)))
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(cn), type=pa.int64()))
+        return t.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def filt_li(t: pa.Table) -> pa.Table:
+        sn, _, _ = ray.get(dims)
+        mask = pc.is_in(t["l_suppkey"], value_set=pa.array(list(sn), type=pa.int64()))
+        t = t.filter(mask)
+        return t.append_column(
+            "rev", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        ).select(["l_orderkey", "l_suppkey", "rev"])
+
+    joined = li.map_batches(filt_li, batch_format="pyarrow").join(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        sn, cn, names = ray.get(dims)
+        sup = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cus = t["o_custkey"].to_numpy(zero_copy_only=False)
+        s_nat = np.array([sn[s] for s in sup]) if len(sup) else np.array([], dtype=np.int64)
+        c_nat = np.array([cn[c] for c in cus]) if len(cus) else np.array([], dtype=np.int64)
+        keep = s_nat == c_nat  # Q5 constraint: supplier and customer in same nation
+        t = t.filter(pa.array(keep))
+        nn = [names[n] for n in s_nat[keep]]
+        return pa.table({"n_name": pa.array(nn, type=pa.string()), "rev": t["rev"]})
+
+    out = (
+        joined.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    return out.map_batches(lambda t: round_col(t, "revenue", 2), batch_format="pyarrow")
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort + top-k with a deterministic composite key
+def q_sort_topk_lineitem(sf_dir: str):
+    ds = read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(20)
+
+
+SORT_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct pairs
+def q_distinct_flags(sf_dir: str):
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["l_returnflag", "l_linestatus"])
+    )
+
+
+DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+# Date bucketing
+def q_orders_by_month(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    )
+    return out.map_batches(lambda t: round_col(t, "total", 2), batch_format="pyarrow")
+
+
+ORDERS_MONTH_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# String predicate + groupby
+def q_part_brand_stats(sf_dir: str):
+    ds = read(sf_dir, "part", columns=["p_brand", "p_name", "p_retailprice", "p_size"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t["p_name"], "re"))
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n"),
+            Mean("p_retailprice", alias_name="avg_price"),
+            Max("p_size", alias_name="max_size"),
+        )
+    )
+    return out.map_batches(lambda t: round_col(t, "avg_price", 2), batch_format="pyarrow")
+
+
+PART_BRAND_SQL = """
+SELECT p_brand, count(*) AS n,
+       round(avg(p_retailprice), 2) AS avg_price,
+       max(p_size) AS max_size
+FROM part WHERE contains(p_name, 're')
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join: customer → nation
+def q_nation_customer_stats(sf_dir: str):
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = broadcast(nmap)
+    ds = read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        names = [m[k] for k in t["c_nationkey"].to_pylist()]
+        return pa.table(
+            {"n_name": pa.array(names, type=pa.string()), "c_acctbal": t["c_acctbal"]}
+        )
+
+    out = (
+        ds.map_batches(enrich, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("c_acctbal", alias_name="total_acctbal"))
+    )
+    return out.map_batches(
+        lambda t: round_col(t, "total_acctbal", 2), batch_format="pyarrow"
+    )
+
+
+NATION_CUST_SQL = """
+SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-join / anti-join via broadcast key set
+def _cust_with_orders(sf_dir: str, priority: str | None = None) -> set:
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    if priority is not None:
+        ds = ds.map_batches(
+            lambda t, p=priority: t.filter(pc.equal(t["o_orderpriority"], p)),
+            batch_format="pyarrow",
+        )
+    keys = set()
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    return keys
+
+
+def q_semi_join_customers(sf_dir: str):
+    ref = broadcast(_cust_with_orders(sf_dir))
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pc.is_in(t["c_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
+        return t.filter(mask)
+
+    return (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_active"))
+    )
+
+
+SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_active
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join_customers(sf_dir: str):
+    # anti-join vs URGENT orders only (vs all orders the complement is
+    # empty at every sf — degenerate)
+    ref = broadcast(_cust_with_orders(sf_dir, priority="1-URGENT"))
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pc.invert(
+            pc.is_in(t["c_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
+        )
+        return t.filter(mask)
+
+    return (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_inactive"))
+    )
+
+
+ANTI_SQL = """
+SELECT c_mktsegment, count(*) AS n_inactive
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# CASE-style bucketing (credits-arithmetic analog: pc.max_element_wise etc.)
+def q_acctbal_buckets(sf_dir: str):
+    ds = read(sf_dir, "customer", columns=["c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = t["c_acctbal"]
+        bucket = pc.case_when(
+            pc.make_struct(pc.less(b, 0.0), pc.less(b, 5000.0)),
+            "negative",
+            "low",
+            "high",
+        )
+        return pa.table({"bucket": bucket, "c_acctbal": b})
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("c_acctbal", alias_name="total"))
+    )
+    return out.map_batches(lambda t: round_col(t, "total", 2), batch_format="pyarrow")
+
+
+BUCKETS_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bucket,
+       count(*) AS n, round(sum(c_acctbal), 2) AS total
+FROM customer GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global scalar stats (single row)
+def q_lineitem_global_stats(sf_dir: str):
+    ds = read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    res = ds.aggregate(
+        Count(alias_name="n_rows"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+    )
+    t = agg_to_table(res, ["n_rows", "min_qty", "max_qty", "avg_price"])
+    return round_col(t, "avg_price", 2)
+
+
+GLOBAL_STATS_SQL = """
+SELECT count(*) AS n_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       round(avg(l_extendedprice), 2) AS avg_price
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top customers by spend, enriched with the broadcast customer name
+def q_top_customers(sf_dir: str):
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cmap = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ref = broadcast(cmap)
+
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    top = (
+        ds.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="spend"), Count(alias_name="n_orders"))
+        .sort(["spend", "o_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+    def enrich(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        names = [m[k] for k in t["o_custkey"].to_pylist()]
+        t = t.append_column("c_name", pa.array(names, type=pa.string()))
+        return round_col(t, "spend", 2)
+
+    return top.map_batches(enrich, batch_format="pyarrow")
+
+
+TOP_CUST_SQL = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS spend, count(*) AS n_orders, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY sum(o_totalprice) DESC, o_custkey
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "q6_revenue_filter": q6_revenue_filter,
+    "q_sort_topk_lineitem": q_sort_topk_lineitem,
+    "q_distinct_flags": q_distinct_flags,
+    "q_orders_by_month": q_orders_by_month,
+    "q_part_brand_stats": q_part_brand_stats,
+    "q_nation_customer_stats": q_nation_customer_stats,
+    "q_semi_join_customers": q_semi_join_customers,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_acctbal_buckets": q_acctbal_buckets,
+    "q_lineitem_global_stats": q_lineitem_global_stats,
+    "q_top_customers": q_top_customers,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "q6_revenue_filter": Q6_SQL,
+    "q_sort_topk_lineitem": SORT_TOPK_SQL,
+    "q_distinct_flags": DISTINCT_SQL,
+    "q_orders_by_month": ORDERS_MONTH_SQL,
+    "q_part_brand_stats": PART_BRAND_SQL,
+    "q_nation_customer_stats": NATION_CUST_SQL,
+    "q_semi_join_customers": SEMI_SQL,
+    "q_anti_join_customers": ANTI_SQL,
+    "q_acctbal_buckets": BUCKETS_SQL,
+    "q_lineitem_global_stats": GLOBAL_STATS_SQL,
+    "q_top_customers": TOP_CUST_SQL,
+}

@@ -1,0 +1,278 @@
+"""Similarity search over the `embeddings` table (list<float> column).
+
+- Brute-force cosine top-k: the broadcast-query-matrix pattern — queries
+  are `ray.put` once; every batch does one numpy matmul against them and
+  emits per-batch partial top-k; a tiny groupby merges partials. No
+  full materialization, no shuffle of the embedding table.
+- IVF-bucketed variant: deterministic centroids (seeded sample + a few
+  Lloyd iterations on a driver-side sample), assignment in map_batches,
+  probe the nearest buckets only — the 100-TB scale path (rows-only
+  oracle; recall vs brute force asserted in pytest).
+- Near-dup pairs by embedding cosine ≥ threshold, SQL-checked.
+
+All cosine math in float64 for cross-engine (numpy vs DuckDB) stability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Mean
+
+from .util import read, read_small, round_col
+
+TOP_K = 5
+N_QUERIES = 10
+
+
+def _stack(batch_col) -> np.ndarray:
+    return np.array(batch_col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _query_matrix(sf_dir: str):
+    t = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mask = pc.less(t["vec_id"], N_QUERIES)
+    t = t.filter(mask)
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = _normalize(_stack(t["embedding"]))
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def q_ann_topk(sf_dir: str):
+    qids, qmat = _query_matrix(sf_dir)
+    ref = ray.put((qids, qmat))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(ref)
+        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        if len(vids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        emb = _normalize(_stack(batch["embedding"]))
+        sims = qm @ emb.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(ids):
+            s = sims[qi]
+            valid = vids != qid  # exclude self
+            idx = np.nonzero(valid)[0]
+            if len(idx) == 0:
+                continue
+            # per-batch partial top-k (deterministic tie-break on id)
+            order = np.lexsort((vids[idx], -s[idx]))[:TOP_K]
+            sel = idx[order]
+            out_q.extend([qid] * len(sel))
+            out_n.extend(vids[sel].tolist())
+            out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g["sim"] = g["sim"].round(4)
+        return g
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.emb, CAST(e.embedding AS DOUBLE[])), 4) AS sim
+FROM q CROSS JOIN embeddings e
+WHERE e.vec_id != q.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.emb, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+) <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+def q_embedding_label_stats(sf_dir: str):
+    ds = read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        first = pc.list_element(t["embedding"], 0)
+        return pa.table(
+            {"label": t["label"], "first_dim": pc.cast(first, pa.float64())}
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"), Mean("first_dim", alias_name="avg_first_dim"))
+    )
+    return out.map_batches(
+        lambda t: round_col(t, "avg_first_dim", 4), batch_format="pyarrow"
+    )
+
+
+LABEL_STATS_SQL = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS avg_first_dim
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (SQL-checked)
+
+# threshold chosen for the synthetic embeddings' similarity range (max
+# pairwise cosine ≈ 0.48-0.52 across sf dirs) so the result is non-empty
+NEAR_DUP_SIM = 0.45
+
+
+def q_embedding_near_dup(sf_dir: str):
+    # broadcast the (normalized) matrix once; each batch compares its rows
+    # against the full right side — O(N·B) per batch, blocked matmul
+    t = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    all_mat = _normalize(_stack(t["embedding"]))
+    ref = ray.put((all_ids, all_mat))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids, mat = ray.get(ref)
+        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_a, out_b, out_s = [], [], []
+        if len(vids):
+            emb = _normalize(_stack(batch["embedding"]))
+            sims = emb @ mat.T  # (B, N)
+            bi, ni = np.nonzero(sims >= NEAR_DUP_SIM)
+            for i, j in zip(bi, ni):
+                a, b = int(vids[i]), int(ids[j])
+                if a < b:  # canonical orientation also dedups
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(round(float(sims[i, j]), 4))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_SIM}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN — the scale path (rows-only oracle; recall in pytest)
+
+IVF_CENTROIDS = 16
+IVF_PROBES = 4
+
+
+def _train_centroids(sf_dir: str, seed: int = 99) -> np.ndarray:
+    t = read_small(sf_dir, "embeddings", columns=["embedding"])
+    mat = _normalize(_stack(t["embedding"]))
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(mat), size=min(IVF_CENTROIDS, len(mat)), replace=False)
+    cents = mat[idx].copy()
+    for _ in range(5):  # a few Lloyd iterations on the sample
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def q_ann_ivf(sf_dir: str):
+    qids, qmat = _query_matrix(sf_dir)
+    cents = _train_centroids(sf_dir)
+    # probe list per query
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :IVF_PROBES]
+    probe_sets = {int(q): set(map(int, p)) for q, p in zip(qids, probe)}
+    ref = ray.put((qids, qmat, cents, probe_sets))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm, cs, probes = ray.get(ref)
+        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        if len(vids):
+            emb = _normalize(_stack(batch["embedding"]))
+            assign = np.argmax(emb @ cs.T, axis=1)
+            sims = qm @ emb.T
+            for qi, qid in enumerate(ids):
+                in_probe = np.isin(assign, list(probes[int(qid)]))
+                valid = in_probe & (vids != qid)
+                idx = np.nonzero(valid)[0]
+                if len(idx) == 0:
+                    continue
+                order = np.lexsort((vids[idx], -sims[qi][idx]))[:TOP_K]
+                sel = idx[order]
+                out_q.extend([int(qid)] * len(sel))
+                out_n.extend(vids[sel].tolist())
+                out_s.extend(sims[qi][sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g["sim"] = g["sim"].round(4)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+QUERIES = {
+    "q_ann_topk": q_ann_topk,
+    "q_embedding_label_stats": q_embedding_label_stats,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_ann_ivf": q_ann_ivf,
+}
+
+ORACLE = {
+    "q_ann_topk": ANN_TOPK_SQL,
+    "q_embedding_label_stats": LABEL_STATS_SQL,
+    "q_embedding_near_dup": NEAR_DUP_SQL,
+    # q_ann_ivf: approximate → rows-only; recall asserted in pytest
+}

@@ -1,0 +1,401 @@
+"""Text-analysis and deduplication operators over the `documents` table —
+the training-data-pipeline operator set (token counting, quality scoring,
+language-ID, fingerprinting, exact + near dedup), each a streaming
+map_batches/groupby pipeline.
+
+Counts are emitted as integers (hash-stable vs the DuckDB oracle);
+MinHash/SimHash stages hold their seed/permutation state in actor
+`__init__` (once per actor, not per batch) and use only deterministic
+hashes (blake2b) — never Python's salted `hash()`."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Min, Sum
+
+from .util import read, round_col
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+PUNCT_RE = r"[.!?,;]"
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace tokens + regex word tokens)
+
+
+def q_doc_token_counts(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # vectorized: split on whitespace runs, count list elements
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n = pc.list_value_length(toks)
+        n = pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()), n)
+        words = pc.count_substring_regex(pc.utf8_lower(t["text"]), pattern=r"\w+")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pc.cast(n, pa.int64()),
+                "n_words": pc.cast(words, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(regexp_extract_all(lower(text), '\w+')) AS n_words
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: integer signals per doc
+
+
+def q_doc_quality(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+    def prep(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                "n_punct": pc.cast(
+                    pc.count_substring_regex(t["text"], pattern=PUNCT_RE), pa.int64()
+                ),
+                "n_stopwords": pc.cast(
+                    pc.count_substring_regex(lower, pattern=stop_pat), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+QUALITY_SQL = rf"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+       len(regexp_extract_all(lower(text), '\b({"|".join(STOPWORDS)})\b')) AS n_stopwords
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: content hash → hash-partitioned first-wins
+
+
+def _md5_col(texts: list[str]) -> pa.Array:
+    return pa.array(
+        [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], type=pa.string()
+    )
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": _md5_col(t["text"].to_pylist()), "doc_id": t["doc_id"]}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("doc_id", alias_name="rep_id"), Count(alias_name="n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS h, min(doc_id) AS rep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: hash of alnum-normalized text
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    rx = re.compile(r"[^a-zA-Z0-9]+")
+
+    def prep(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(rx.sub("", x).lower().encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, type=pa.string())})
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language distribution (declared lang column)
+
+
+def q_doc_lang_stats(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language-ID (n-gram/stopword profile; rows-only oracle)
+
+_LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "de", "los", "es", "una"),
+    "zh": (),  # no latin stopwords → falls back to 'unknown'
+}
+
+
+class LangId:
+    """Actor-pool stage: profiles compiled once per actor."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-z']+")
+        self.profiles = {
+            lang: frozenset(ws) for lang, ws in _LANG_PROFILES.items() if ws
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for text in batch["text"].to_pylist():
+            toks = self.word.findall(text.lower())
+            best, best_score = "unknown", 0
+            for lang in sorted(self.profiles):  # deterministic tie-break
+                score = sum(1 for w in toks if w in self.profiles[lang])
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "predicted": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def q_doc_langid(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup (rows-only oracle; Jaccard-verified pairs)
+
+MINHASH_K = 128
+LSH_BANDS = 32  # rows per band = 4
+NEAR_DUP_THRESHOLD = 0.30
+MAX_BUCKET = 64  # skip degenerate LSH buckets (quadratic pair blowup guard)
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _shingles(text: str, n: int = 2) -> np.ndarray:
+    toks = re.findall(r"\w+", text.lower())
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.array(sorted({_stable_hash64(g) for g in grams}), dtype=np.uint64)
+
+
+class MinHasher:
+    """Actor-pool stage: seeded permutations built once per actor; emits
+    (band_id, band_hash, doc_id) rows for the LSH groupby."""
+
+    def __init__(self, seed: int = 1234):
+        rng = np.random.RandomState(seed)
+        # odd multipliers; arithmetic is uint64 with natural 2^64 wraparound
+        # (deterministic everywhere numpy runs)
+        self.a = (
+            rng.randint(1, 1 << 62, size=MINHASH_K, dtype=np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )
+        self.b = rng.randint(0, 1 << 62, size=MINHASH_K, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray | None:
+        x = _shingles(text)
+        if len(x) == 0:
+            return None
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * x[None, :] + self.b[:, None]  # (k, n) mod 2^64
+        return np.min(vals, axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids = [], [], []
+        r = MINHASH_K // LSH_BANDS
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = self.signature(text)
+            if sig is None:
+                continue
+            for band in range(LSH_BANDS):
+                chunk = sig[band * r : (band + 1) * r]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                band_ids.append(band)
+                band_hashes.append(h)
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.string()),
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+            }
+        )
+
+
+def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(group["doc_id"].unique().tolist())
+    if len(ids) > MAX_BUCKET:  # degenerate bucket (boilerplate-identical band)
+        ids = []
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    if not pairs:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
+    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+
+class JaccardVerifier:
+    """Verify candidate pairs with exact n-gram Jaccard. The doc→shingle
+    lookup is broadcast once (ray.put) — at cluster scale this becomes a
+    hash-partitioned join back to the corpus; broadcast is the right call
+    while the shingle index fits the object store."""
+
+    def __init__(self, shingle_ref):
+        import ray
+
+        self.shingles = ray.get(shingle_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            sa, sb = self.shingles.get(a), self.shingles.get(b)
+            if sa is None or sb is None:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= NEAR_DUP_THRESHOLD:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(j, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    import ray
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
+    cands = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(_candidate_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")  # dedup pairs
+    )
+    # build the shingle index (documents table is the small side here)
+    shingles = {}
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            shingles[doc_id] = _shingles(text)
+    ref = ray.put(shingles)
+    return cands.map_batches(
+        JaccardVerifier,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (rows-only oracle; deterministic)
+
+
+class SimHasher:
+    def __init__(self):
+        self.word = re.compile(r"\w+")
+
+    def simhash(self, text: str) -> int:
+        toks = self.word.findall(text.lower())
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            h = _stable_hash64(t)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [format(self.simhash(t), "016x") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash": pa.array(hs, type=pa.string())}
+        )
+
+
+def q_doc_simhash(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+
+
+QUERIES = {
+    "q_doc_token_counts": q_doc_token_counts,
+    "q_doc_quality": q_doc_quality,
+    "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_lang_stats": q_doc_lang_stats,
+    "q_doc_langid": q_doc_langid,
+    "q_doc_minhash_pairs": q_doc_minhash_pairs,
+    "q_doc_simhash": q_doc_simhash,
+}
+
+ORACLE = {
+    "q_doc_token_counts": TOKEN_COUNTS_SQL,
+    "q_doc_quality": QUALITY_SQL,
+    "q_doc_exact_dedup": EXACT_DEDUP_SQL,
+    "q_doc_fingerprint": FINGERPRINT_SQL,
+    "q_doc_lang_stats": LANG_STATS_SQL,
+    # q_doc_langid / q_doc_minhash_pairs / q_doc_simhash: not
+    # SQL-expressible → rows-only driver check; verified in pytest instead
+}

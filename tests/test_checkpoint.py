@@ -1,0 +1,72 @@
+"""Resume-idempotency: kill mid-run (simulated via max_waves), re-run,
+assert identical final output and no re-processing of completed waves."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from docling_api_ray import synth
+from docling_api_ray.config import PipelineConfig
+from docling_api_ray.state.checkpoint import Manifest, run_job
+
+N_DOCS = 120
+CFG = PipelineConfig(extractor_concurrency=(1, 2))
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt_corpus")
+    return synth.write_corpus(str(d), N_DOCS, seed=5, num_files=6)
+
+
+def read_out(out_dir):
+    frames = []
+    for root, _, files in os.walk(out_dir):
+        if os.path.basename(root).startswith("wave-"):
+            for f in files:
+                if f.endswith(".parquet"):
+                    frames.append(pd.read_parquet(os.path.join(root, f)))
+    return (
+        pd.concat(frames).sort_values("doc_id").reset_index(drop=True)
+        if frames
+        else pd.DataFrame()
+    )
+
+
+def test_crash_and_resume(ray_session, shards, tmp_path):
+    out = str(tmp_path / "out")
+    # crash after the first wave
+    s1 = run_job(shards, out, CFG, wave_size=2, max_waves=1)
+    assert s1["waves_run"] == 1 and not s1["complete"]
+    manifest = Manifest(out)
+    assert len(manifest.entries()) == 2
+    first_wave_dir = manifest.entries()[0]["output_path"]
+    mtime_before = os.path.getmtime(first_wave_dir)
+
+    # resume: completed shards skipped, remaining waves processed
+    s2 = run_job(shards, out, CFG, wave_size=2)
+    assert s2["shards_skipped"] == 2 and s2["complete"]
+    assert os.path.getmtime(first_wave_dir) == mtime_before  # not redone
+    assert len(Manifest(out).entries()) == len(shards)
+
+    got = read_out(out)
+    assert len(got) == N_DOCS
+    assert sorted(got["doc_id"]) == [f"doc-{i:08d}" for i in range(N_DOCS)]
+
+    # idempotent re-run: nothing to do, output unchanged
+    s3 = run_job(shards, out, CFG, wave_size=2)
+    assert s3["shards_skipped"] == len(shards) and s3["waves_run"] == 0
+    assert read_out(out).equals(got)
+
+
+def test_metrics_written(ray_session, shards, tmp_path):
+    out = str(tmp_path / "out2")
+    run_job(shards, out, CFG, wave_size=3)
+    metrics = os.path.join(out, "_metrics.jsonl")
+    assert os.path.exists(metrics)
+    import json
+
+    rows = [json.loads(l) for l in open(metrics)]
+    assert len(rows) == 2  # 6 shards / wave_size 3
+    assert all(r["wall_ms"] > 0 and r["rows"] > 0 for r in rows)

@@ -1,0 +1,81 @@
+"""Semantic verification for the non-SQL-expressible operators: MinHash-LSH
+near-dedup (vs brute-force n-gram Jaccard), IVF ANN recall (vs brute
+force), SimHash properties, LangId determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def brute_force_pairs(threshold):
+    import duckdb
+
+    from docling_api_ray.pipelines.text import _shingles
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    sh = {d: _shingles(t) for d, t in docs}
+    ids = sorted(sh)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_pairs_vs_brute_force(ray_session):
+    from docling_api_ray.pipelines.text import NEAR_DUP_THRESHOLD, q_doc_minhash_pairs
+
+    got = q_doc_minhash_pairs(SF).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    exact = brute_force_pairs(NEAR_DUP_THRESHOLD)
+    # no false positives (every reported pair is Jaccard-verified)
+    assert got_pairs <= exact
+    # LSH recall at this band configuration should be high for j >= 0.3
+    assert len(exact) > 0
+    recall = len(got_pairs) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    from docling_api_ray.pipelines.similarity import q_ann_ivf, q_ann_topk
+
+    bf = q_ann_topk(SF).to_pandas()
+    ivf = q_ann_ivf(SF).to_pandas()
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    ivf_sets = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets.index
+    ]
+    assert np.mean(recalls) >= 0.5, f"IVF mean recall {np.mean(recalls):.2f}"
+
+
+def test_simhash_deterministic_and_similar_docs_close(ray_session):
+    from docling_api_ray.pipelines.text import SimHasher
+
+    h = SimHasher()
+    a = h.simhash("the quick brown fox jumps over the lazy dog")
+    b = h.simhash("the quick brown fox jumps over the lazy cat")
+    c = h.simhash("completely different words entirely unrelated text")
+    assert a == h.simhash("the quick brown fox jumps over the lazy dog")
+
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+
+    assert ham(a, b) < ham(a, c)
+
+
+def test_langid_deterministic(ray_session):
+    from docling_api_ray.pipelines.text import q_doc_langid
+
+    a = q_doc_langid(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = q_doc_langid(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["predicted"]) <= {"en", "de", "fr", "es", "unknown"}
