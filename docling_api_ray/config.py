@@ -30,7 +30,12 @@ class PipelineConfig:
 
     # Execution knobs (deploy-env analog: workers/threads,
     # `deployments/lightning/lightning.yaml:45-61`).
-    batch_size: int = 256  # documents per batch into the extractor pool
+    batch_size: int = 256  # documents per batch into the extractor stage
+    # "tasks": stateless map_batches tasks with a per-worker parser cache —
+    #   fully elastic, the default for this cheap-state parser.
+    # "actors": callable-class actor pool — for heavy per-worker state
+    #   (model weights, the reference's T1 warmup, modal_docling.py:80-182).
+    extractor_mode: str = "tasks"
     extractor_concurrency: tuple[int, int] = (1, 8)  # actor-pool autoscale (min,max)
     extractor_num_cpus: float = 1.0
 
@@ -38,6 +43,7 @@ class PipelineConfig:
     # take the split → extract → groupby(doc_id) reassemble path.
     giant_span_threshold: int = 96
     giant_chunk_spans: int = 32
+    chunk_partitions: int = 64  # block count for the giant-chunk slice
 
     # Credits arithmetic parity (`api/routes/documents.py:35-41`).
     credits_per_page: int = 1

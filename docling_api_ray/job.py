@@ -37,7 +37,9 @@ def main() -> None:
         )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
 
     from .config import PipelineConfig
     from .state.checkpoint import run_job

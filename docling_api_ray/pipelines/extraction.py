@@ -28,11 +28,13 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
-from ..stages.extract import DocumentExtractor
-from ..stages.serialize import make_serializer
-from ..stages.skew import ChunkExtractor, make_splitter, reassemble
-
-RESULT_COLS = ["doc_id", "spans", "pages", "status", "error"]
+from ..stages.extract import DocumentExtractor, make_extract_fn, result_schema
+from ..stages.skew import (
+    ChunkExtractor,
+    make_chunk_fn,
+    make_reassembler,
+    make_splitter,
+)
 
 
 def _has_n_spans(paths) -> bool:
@@ -51,8 +53,18 @@ def _has_n_spans(paths) -> bool:
         return False
 
 
+def _read_blocks() -> int:
+    # enough read tasks that block production never serializes the
+    # downstream extract stage (a file count ≪ CPUs would otherwise cap
+    # read parallelism at the file count)
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8)) * 2
+
+
 def _read(paths, threshold: int, giant: bool, pushdown: bool) -> rd.Dataset:
     cols = ["doc_id", "spans"]
+    nb = _read_blocks()
     if pushdown:
         # row-group pruning at the read: parquet stats on n_spans
         flt = (
@@ -60,8 +72,8 @@ def _read(paths, threshold: int, giant: bool, pushdown: bool) -> rd.Dataset:
             if giant
             else (pc.field("n_spans") <= threshold)
         )
-        return rd.read_parquet(paths, columns=cols, filter=flt)
-    ds = rd.read_parquet(paths, columns=cols)
+        return rd.read_parquet(paths, columns=cols, filter=flt, override_num_blocks=nb)
+    ds = rd.read_parquet(paths, columns=cols, override_num_blocks=nb)
 
     def post_filter(batch: pa.Table) -> pa.Table:
         n = pc.list_value_length(batch.column("spans"))
@@ -79,36 +91,51 @@ def build_extraction(
     """Build the (lazy) extraction Dataset over a parquet corpus."""
     pushdown = _has_n_spans(paths)
     threshold = cfg.giant_span_threshold
+    fmt = cfg.output_format if serialize else None
+    out_cols = result_schema(fmt).names
 
     small = _read(paths, threshold, giant=False, pushdown=pushdown)
-    small_out = small.map_batches(
-        DocumentExtractor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.extractor_concurrency,
-        num_cpus=cfg.extractor_num_cpus,
-    )
+    if cfg.extractor_mode == "actors":
+        small_out = small.map_batches(
+            DocumentExtractor,
+            fn_constructor_args=(cfg, serialize),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extractor_concurrency,
+            num_cpus=cfg.extractor_num_cpus,
+        )
+    else:
+        small_out = small.map_batches(
+            make_extract_fn(cfg, serialize),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
 
     giant = _read(paths, threshold, giant=True, pushdown=pushdown)
     chunks = giant.map_batches(
-        make_splitter(cfg), batch_format="pyarrow", batch_size=64
+        make_splitter(cfg), batch_format="pyarrow", batch_size=8
     )
-    chunk_out = chunks.map_batches(
-        ChunkExtractor,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=64,
-        concurrency=cfg.extractor_concurrency,
-        num_cpus=cfg.extractor_num_cpus,
-    )
+    # repartition so chunk extraction isn't fused into a handful of tasks —
+    # the whole point of splitting giants is spreading them across workers.
+    # Cost: an all-to-all over the ~2% giant slice only.
+    chunks = chunks.repartition(cfg.chunk_partitions)
+    if cfg.extractor_mode == "actors":
+        # the giant slice gets its own SMALL pool: min 1 so the two pools'
+        # floors can never reserve every CPU (read/sort starvation deadlock)
+        chunk_out = chunks.map_batches(
+            ChunkExtractor,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, cfg.extractor_concurrency[1]),
+            num_cpus=cfg.extractor_num_cpus,
+        )
+    else:
+        chunk_out = chunks.map_batches(
+            make_chunk_fn(cfg), batch_format="pyarrow", batch_size=64
+        )
     giant_out = chunk_out.groupby("doc_id").map_groups(
-        reassemble, batch_format="pyarrow"
+        make_reassembler(fmt), batch_format="pyarrow"
     )
 
-    out = small_out.union(giant_out.select_columns(RESULT_COLS))
-    if serialize:
-        out = out.map_batches(
-            make_serializer(cfg.output_format), batch_format="pyarrow"
-        )
-    return out
+    return small_out.union(giant_out.select_columns(out_cols))

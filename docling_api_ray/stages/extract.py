@@ -29,18 +29,35 @@ from ..spec import (
     extract_pdf_table,
     extract_pdf_text,
 )
-from .html_extract import StreamHtmlExtractor
+from .html_extract import FastHtmlExtractor
+
+
+def result_schema(output_format: str | None) -> pa.Schema:
+    """RESULT_SCHEMA plus the serialized columns for an output format."""
+    s = RESULT_SCHEMA
+    if output_format in ("markdown", "both"):
+        s = s.append(pa.field("markdown", pa.string()))
+    if output_format in ("json", "both"):
+        s = s.append(pa.field("json", pa.string()))
+    return s
 
 
 class DocumentExtractor:
-    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """`serialize=True` fuses the markdown/JSON export into this stage —
+    the span lists are already in hand as Python lists here, so fusing
+    avoids a full Arrow→Python→Arrow round-trip of the nested span column
+    in a separate serializer stage (measured ~2x end-to-end)."""
+
+    def __init__(self, cfg: PipelineConfig = DEFAULT_CONFIG, serialize: bool = False):
         self.cfg = cfg
+        self.serialize = serialize
         # stateful setup, once per actor (T1 analog: model warmup)
-        self.html = StreamHtmlExtractor(cfg.enable_table_extraction)
+        self.html = FastHtmlExtractor(cfg.enable_table_extraction)
 
-    # -- one document -------------------------------------------------------
+    # -- one document (columnar core) ---------------------------------------
 
-    def extract_one(self, doc_id: str, kinds, texts, media) -> dict:
+    def extract_core(self, kinds, texts, media):
+        """→ (out_kinds, out_texts, out_media, pages, error)."""
         cfg = self.cfg
         out_k: list[str] = []
         out_t: list[str] = []
@@ -72,15 +89,21 @@ class DocumentExtractor:
                 elif kind == "page_break":
                     pages += 1
                     if pages > cfg.max_pages:
-                        return _err(doc_id, ERR_TOO_MANY_PAGES)
+                        return [], [], [], 0, ERR_TOO_MANY_PAGES
                 else:
-                    return _err(doc_id, ERR_UNKNOWN_KIND.format(kind=repr(kind)))
+                    return [], [], [], 0, ERR_UNKNOWN_KIND.format(kind=repr(kind))
                 if text:
                     total_bytes += len(text.encode("utf-8", errors="replace"))
                     if total_bytes > cfg.max_doc_bytes:
-                        return _err(doc_id, ERR_TOO_LARGE)
+                        return [], [], [], 0, ERR_TOO_LARGE
         except Exception as exc:  # errors-as-data (docling_client.py:362-380)
-            return _err(doc_id, f"{type(exc).__name__}: {exc}")
+            return [], [], [], 0, f"{type(exc).__name__}: {exc}"
+        return out_k, out_t, out_m, pages, ""
+
+    def extract_one(self, doc_id: str, kinds, texts, media) -> dict:
+        out_k, out_t, out_m, pages, err = self.extract_core(kinds, texts, media)
+        if err:
+            return {"doc_id": doc_id, "spans": [], "pages": 0, "status": "error", "error": err}
         spans = [
             {"kind": k, "text": t, "media_ref": m, "offset": i}
             for i, (k, t, m) in enumerate(zip(out_k, out_t, out_m))
@@ -96,18 +119,99 @@ class DocumentExtractor:
     # -- one Arrow batch ----------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .serialize import spans_to_json_cols, spans_to_markdown_cols
+
         doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        rows = []
-        for doc_id, spans in zip(doc_ids, spans_col):
-            # input spans processed in (offset, input-index) order
-            ordered = sorted(enumerate(spans), key=lambda t: (t[1]["offset"], t[0]))
-            kinds = [s["kind"] for _, s in ordered]
-            texts = [s["text"] for _, s in ordered]
-            media = [s["media_ref"] for _, s in ordered]
-            rows.append(self.extract_one(doc_id, kinds, texts, media))
-        return pa.Table.from_pylist(rows, schema=RESULT_SCHEMA)
+        # flat decode of the nested span column: child-array to_pylist is
+        # several times cheaper than nested list<struct> → list-of-dicts
+        la = batch.column("spans").combine_chunks()
+        if isinstance(la, pa.ChunkedArray):  # zero- or one-chunk cases
+            la = (
+                la.chunk(0)
+                if la.num_chunks
+                else pa.array([], type=batch.schema.field("spans").type)
+            )
+        doc_offs = la.offsets.to_numpy()
+        vals = la.values
+        in_kinds = vals.field(0).to_pylist()
+        in_texts = vals.field(1).to_pylist()
+        in_media = vals.field(2).to_pylist()
+        in_offs = vals.field(3).to_numpy()
+        fmt = self.cfg.output_format if self.serialize else None
+        # columnar builders (no per-span dicts, no from_pylist)
+        flat_k: list[str] = []
+        flat_t: list[str] = []
+        flat_m: list[str] = []
+        flat_o: list[int] = []
+        list_offsets: list[int] = [0]
+        pages_col: list[int] = []
+        status_col: list[str] = []
+        error_col: list[str] = []
+        per_doc = []  # (out_k, out_t, out_m, pages, err) for serializers
+        for di in range(len(doc_offs) - 1):
+            lo, hi = doc_offs[di], doc_offs[di + 1]
+            kinds = in_kinds[lo:hi]
+            texts = in_texts[lo:hi]
+            media = in_media[lo:hi]
+            seg = in_offs[lo:hi]
+            if len(seg) > 1 and not (np.diff(seg) >= 0).all():
+                order = np.argsort(seg, kind="stable")
+                kinds = [kinds[j] for j in order]
+                texts = [texts[j] for j in order]
+                media = [media[j] for j in order]
+            res = self.extract_core(kinds, texts, media)
+            out_k, out_t, out_m, pages, err = res
+            per_doc.append(res)
+            flat_k.extend(out_k)
+            flat_t.extend(out_t)
+            flat_m.extend(out_m)
+            flat_o.extend(range(len(out_k)))
+            list_offsets.append(len(flat_k))
+            pages_col.append(pages)
+            status_col.append("error" if err else "success")
+            error_col.append(err)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(flat_k, type=pa.string()),
+                pa.array(flat_t, type=pa.string()),
+                pa.array(flat_m, type=pa.string()),
+                pa.array(flat_o, type=pa.int32()),
+            ],
+            fields=list(SPAN),
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), struct)
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "spans": spans_arr,
+            "pages": pa.array(pages_col, type=pa.int32()),
+            "status": pa.array(status_col, type=pa.string()),
+            "error": pa.array(error_col, type=pa.string()),
+        }
+        if fmt in ("markdown", "both"):
+            cols["markdown"] = spans_to_markdown_cols(per_doc)
+        if fmt in ("json", "both"):
+            cols["json"] = spans_to_json_cols(doc_ids, per_doc)
+        return pa.table(cols)
 
 
-def _err(doc_id: str, error: str) -> dict:
-    return {"doc_id": doc_id, "spans": [], "pages": 0, "status": "error", "error": error}
+# Per-worker-process extractor cache for the stateless-task mode: tasks are
+# fully elastic (no actor-pool ramp) while the parser state still amortizes
+# across batches, because Ray reuses worker processes. Actor-pool mode
+# (cfg.extractor_mode="actors") remains the right choice for genuinely
+# heavy per-worker state (model weights -- the reference's T1 warmup,
+# modal_docling.py:80-182); this parser's state is microseconds to build.
+_EXTRACTOR_CACHE: dict = {}
+
+
+def make_extract_fn(cfg: PipelineConfig, serialize: bool):
+    key = (cfg, serialize)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ext = _EXTRACTOR_CACHE.get(key)
+        if ext is None:
+            ext = _EXTRACTOR_CACHE[key] = DocumentExtractor(cfg, serialize)
+        return ext(batch)
+
+    return extract

@@ -45,6 +45,54 @@ def spans_to_json(doc_id: str, spans: list[dict], pages: int, status: str) -> st
     )
 
 
+def _markdown_from_cols(kinds: list[str], texts: list[str]) -> str:
+    parts = []
+    for k, t in zip(kinds, texts):
+        if k == "heading":
+            parts.append("## " + t)
+        elif k == "picture":
+            parts.append("<!-- image -->")
+        else:
+            parts.append(t)
+    return "\n\n".join(parts)
+
+
+def spans_to_markdown_cols(per_doc) -> pa.Array:
+    """Fused-serializer fast path: per_doc = [(out_k, out_t, out_m, pages,
+    err)], identical output to `spans_to_markdown` on the span dicts."""
+    return pa.array(
+        [
+            "" if err else _markdown_from_cols(out_k, out_t)
+            for out_k, out_t, _, _, err in per_doc
+        ],
+        type=pa.string(),
+    )
+
+
+def spans_to_json_cols(doc_ids, per_doc) -> pa.Array:
+    vals = []
+    for doc_id, (out_k, out_t, out_m, pages, err) in zip(doc_ids, per_doc):
+        if err:
+            vals.append("")
+            continue
+        vals.append(
+            json.dumps(
+                {
+                    "doc_id": doc_id,
+                    "pages": pages,
+                    "status": "success",
+                    "content": [
+                        {"kind": k, "text": t, "media_ref": m}
+                        for k, t, m in zip(out_k, out_t, out_m)
+                    ],
+                },
+                sort_keys=True,
+                separators=(",", ":"),
+            )
+        )
+    return pa.array(vals, type=pa.string())
+
+
 def serialize_batch(batch: pa.Table, output_format: str = "markdown") -> pa.Table:
     """Append `markdown` and/or `json` columns per the output format."""
     doc_ids = batch.column("doc_id").to_pylist()

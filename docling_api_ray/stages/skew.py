@@ -142,18 +142,52 @@ class ChunkExtractor:
         return pa.Table.from_pylist(out, schema=CHUNK_SCHEMA)
 
 
-def reassemble(group: pa.Table) -> pa.Table:
-    """map_groups fn over groupby("doc_id"): chunks → one RESULT row.
+_CHUNK_CACHE: dict = {}
+
+
+def make_chunk_fn(cfg: PipelineConfig):
+    """Stateless-task variant of ChunkExtractor (per-worker cached)."""
+
+    def chunk_extract(batch: pa.Table) -> pa.Table:
+        ext = _CHUNK_CACHE.get(cfg)
+        if ext is None:
+            ext = _CHUNK_CACHE[cfg] = ChunkExtractor(cfg)
+        return ext(batch)
+
+    return chunk_extract
+
+
+def make_reassembler(output_format: str | None):
+    """map_groups fn over groupby("doc_id"): chunks → one RESULT row
+    (plus fused serialized columns when `output_format` is set).
 
     Deterministic: sort by chunk_id, concat spans, renumber offsets
     densely. The earliest-chunk error wins (matches the oracle's
     in-order error semantics)."""
-    rows = sorted(group.to_pylist(), key=lambda r: r["chunk_id"])
-    doc_id = rows[0]["doc_id"]
-    for r in rows:
-        if r["status"] == "error":
-            return pa.Table.from_pylist(
-                [
+    from .extract import result_schema
+    from .serialize import spans_to_json, spans_to_markdown
+
+    schema = result_schema(output_format)
+
+    def finish(row: dict) -> pa.Table:
+        if output_format in ("markdown", "both"):
+            row["markdown"] = (
+                spans_to_markdown(row["spans"]) if row["status"] == "success" else ""
+            )
+        if output_format in ("json", "both"):
+            row["json"] = (
+                spans_to_json(row["doc_id"], row["spans"], row["pages"], "success")
+                if row["status"] == "success"
+                else ""
+            )
+        return pa.Table.from_pylist([row], schema=schema)
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: r["chunk_id"])
+        doc_id = rows[0]["doc_id"]
+        for r in rows:
+            if r["status"] == "error":
+                return finish(
                     {
                         "doc_id": doc_id,
                         "spans": [],
@@ -161,16 +195,13 @@ def reassemble(group: pa.Table) -> pa.Table:
                         "status": "error",
                         "error": r["error"],
                     }
-                ],
-                schema=RESULT_SCHEMA,
-            )
-    spans = []
-    for r in rows:
-        for s in r["spans"]:
-            s["offset"] = len(spans)
-            spans.append(s)
-    return pa.Table.from_pylist(
-        [
+                )
+        spans = []
+        for r in rows:
+            for s in r["spans"]:
+                s["offset"] = len(spans)
+                spans.append(s)
+        return finish(
             {
                 "doc_id": doc_id,
                 "spans": spans,
@@ -178,6 +209,6 @@ def reassemble(group: pa.Table) -> pa.Table:
                 "status": "success",
                 "error": "",
             }
-        ],
-        schema=RESULT_SCHEMA,
-    )
+        )
+
+    return reassemble

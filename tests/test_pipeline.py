@@ -133,3 +133,14 @@ def test_giant_docs_took_split_path(default_out, oracle_rows):
     out = default_out.set_index("doc_id")
     for g in giants:
         assert norm_spans(out.loc[g]["spans"]) == norm_spans(oracle_rows[g]["spans"])
+
+
+def test_actor_pool_mode_matches(ray_session, corpus_dir, default_out, oracle_rows):
+    # the actor-pool execution mode (heavy-state stages) must produce
+    # identical results to the default task mode
+    cfg = PipelineConfig(extractor_mode="actors", extractor_concurrency=(1, 2))
+    out = build_extraction(corpus_dir, cfg).to_pandas()
+    exp = default_out.sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert got["markdown"].tolist() == exp["markdown"].tolist()
+    assert [norm_spans(s) for s in got["spans"]] == [norm_spans(s) for s in exp["spans"]]

@@ -5,16 +5,20 @@ each other)."""
 from docling_api_ray import oracle
 from docling_api_ray.config import PipelineConfig
 from docling_api_ray.spec import extract_pdf_table, extract_pdf_text, format_table
-from docling_api_ray.stages.html_extract import StreamHtmlExtractor
+from docling_api_ray.stages.html_extract import FastHtmlExtractor, StreamHtmlExtractor
 
 CFG = PipelineConfig()
 
 
 def both(html: str, tables: bool = True):
+    """All three implementations must agree: tree-walking oracle, stdlib
+    streaming parser, fast regex-tokenizer parser."""
     cfg = PipelineConfig(enable_table_extraction=tables)
     a = oracle.extract_html(html, cfg)
     b = StreamHtmlExtractor(tables).extract(html)
-    assert a == b, f"oracle {a!r} != engine {b!r}"
+    c = FastHtmlExtractor(tables).extract(html)
+    assert a == b, f"oracle {a!r} != stream {b!r}"
+    assert a == c, f"oracle {a!r} != fast {c!r}"
     return a
 
 
