@@ -1,0 +1,60 @@
+"""Credits arithmetic — exact parity with the reference's billing math
+(`/root/reference/api/routes/documents.py:35-41`):
+credits = max(pages * credits_per_page, min_credits_per_document), charged
+only for successful conversions; request-level totals mirror
+`documents.py:76-78` (sum of pages / count of successes)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+
+def add_credits_column(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Vectorized per-row credit computation over RESULT rows."""
+    pages = pc.cast(batch["pages"], pa.int64())
+    credits = pc.max_element_wise(
+        pc.multiply(pages, pa.scalar(cfg.credits_per_page, pa.int64())),
+        pa.scalar(cfg.min_credits_per_document, pa.int64()),
+    )
+    ok = pc.equal(batch["status"], "success")
+    credits = pc.if_else(ok, credits, pa.scalar(0, pa.int64()))
+    return batch.append_column("credits", credits)
+
+
+def usage_summary(ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Job-level rollup (UsageRecord analog, `api/services/key_service.py:166-179`)."""
+    from ray.data.aggregate import Count, Sum
+
+    with_credits = ds.map_batches(
+        lambda t: add_credits_column(t, cfg), batch_format="pyarrow"
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        ok = pc.equal(t["status"], "success")
+        return pa.table(
+            {
+                "pages": pc.if_else(ok, pc.cast(t["pages"], pa.int64()), pa.scalar(0, pa.int64())),
+                "credits": t["credits"],
+                "is_success": pc.cast(ok, pa.int64()),
+            }
+        )
+
+    agg = with_credits.map_batches(flags, batch_format="pyarrow").aggregate(
+        Sum("pages", alias_name="total_pages"),
+        Sum("credits", alias_name="total_credits"),
+        Sum("is_success", alias_name="total_documents"),
+        Count(alias_name="total_rows"),
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "total_pages": agg["total_pages"],
+                "total_credits": agg["total_credits"],
+                "total_documents": agg["total_documents"],
+                "total_rows": agg["total_rows"],
+            }
+        ]
+    )

@@ -108,14 +108,53 @@ FROM marked GROUP BY user_id
 """
 
 
+def q_events_sliding(sf_dir: str):
+    """Sliding 3-hour window (hourly buckets, value-range window): the
+    hourly pre-aggregate shuffles once and is tiny; the sliding sum runs
+    per event_type over the sorted bucket list (gaps handled by value
+    range, not row count)."""
+    hourly = q_events_hourly(sf_dir)
+
+    def slide(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = g.sort_values("hour_start").reset_index(drop=True)
+        hs = g["hour_start"].to_numpy()
+        n = g["n_events"].to_numpy()
+        csum = n.cumsum()
+        lo = np.searchsorted(hs, hs - 7200, side="left")
+        n_3h = csum - np.where(lo > 0, csum[lo - 1], 0)
+        g["n_3h"] = n_3h.astype("int64")
+        return g[["event_type", "hour_start", "n_events", "n_3h"]]
+
+    return hourly.groupby("event_type").map_groups(slide, batch_format="pandas")
+
+
+SLIDING_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_start, n_events,
+       CAST(sum(n_events) OVER (
+            PARTITION BY event_type ORDER BY hour_start
+            RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
+FROM h
+"""
+
+
 QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_events_user_stats": q_events_user_stats,
     "q_events_sessionize": q_events_sessionize,
+    "q_events_sliding": q_events_sliding,
 }
 
 ORACLE = {
     "q_events_hourly": HOURLY_SQL,
     "q_events_user_stats": USER_STATS_SQL,
     "q_events_sessionize": SESSIONIZE_SQL,
+    "q_events_sliding": SLIDING_SQL,
 }

@@ -77,9 +77,60 @@ def q_extract_kind_stats(sf_dir: str):
     )
 
 
+def q_extract_credits(sf_dir: str):
+    """Per-doc credits (reference billing parity, documents.py:35-41) +
+    flat result columns."""
+    import pyarrow.compute as pc
+
+    from ..functions.credits import add_credits_column
+
+    path = corpus_for(sf_dir)
+    ds = build_extraction(path, PipelineConfig(), serialize=False)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        t = add_credits_column(batch)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pages": t["pages"],
+                "status": t["status"],
+                "credits": t["credits"],
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_extract_usage_summary(sf_dir: str):
+    """Job-level usage rollup (documents.py:76-78 / key_service.py:166-179)."""
+    from ..functions.credits import usage_summary
+
+    path = corpus_for(sf_dir)
+    ds = build_extraction(path, PipelineConfig(), serialize=False)
+    return usage_summary(ds)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal binary-column pipeline: deterministic media table sized
+    from the sf (rows-only; decode stubbed per build contract)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.media import build_media_features, synth_media
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    media = synth_media(n, seed=42)
+    return build_media_features(rd.from_arrow(media), concurrency=(1, 4))
+
+
 QUERIES = {
     "q_extract_documents": q_extract_documents,
     "q_extract_kind_stats": q_extract_kind_stats,
+    "q_extract_credits": q_extract_credits,
+    "q_extract_usage_summary": q_extract_usage_summary,
+    "q_media_features": q_media_features,
 }
 
 ORACLE: dict[str, str] = {}  # rows-only: corpus is not visible to DuckDB

@@ -550,6 +550,45 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-group top-k (window-function analog): top 3 orders per market segment
+def q_top_orders_per_segment(sf_dir: str):
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    seg = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = broadcast(seg)
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        segs = [m[k] for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+
+    return (
+        ds.map_batches(enrich, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+TOP_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+QUALIFY row_number() OVER (
+    PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -565,6 +604,7 @@ QUERIES = {
     "q_acctbal_buckets": q_acctbal_buckets,
     "q_lineitem_global_stats": q_lineitem_global_stats,
     "q_top_customers": q_top_customers,
+    "q_top_orders_per_segment": q_top_orders_per_segment,
 }
 
 ORACLE = {
@@ -582,4 +622,5 @@ ORACLE = {
     "q_acctbal_buckets": BUCKETS_SQL,
     "q_lineitem_global_stats": GLOBAL_STATS_SQL,
     "q_top_customers": TOP_CUST_SQL,
+    "q_top_orders_per_segment": TOP_PER_SEGMENT_SQL,
 }

@@ -1,0 +1,68 @@
+"""Multimodal binary-column stages: decode stub, feature extraction,
+frame sampling — errors-as-data, determinism, Ray plumbing."""
+
+import pytest
+import ray.data as rd
+
+from docling_api_ray.stages.media import (
+    FrameSampler,
+    MediaFeatureExtractor,
+    build_media_features,
+    decode_fake,
+    decode_real,
+    synth_media,
+)
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def media_tbl():
+    return synth_media(N, seed=42)
+
+
+def test_real_decoder_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"xx", "image")
+
+
+def test_fake_decode_roundtrip(media_tbl):
+    # row 0 is a seeded corrupt payload (0 % 97 == 0); row 3 is a clean image
+    payload = media_tbl.column("payload")[3].as_py()
+    w, h, frames, body = decode_fake(payload)
+    assert 16 <= w <= 256 and 16 <= h <= 256 and frames == 1
+
+
+def test_feature_extraction_pipeline(ray_session, media_tbl):
+    ds = rd.from_arrow(media_tbl)
+    out = build_media_features(ds, concurrency=(1, 2)).to_pandas()
+    assert len(out) == N
+    ok = out[out["status"] == "success"]
+    bad = out[out["status"] == "error"]
+    assert len(bad) == (N + 96) // 97  # seeded corrupt payloads
+    assert (bad["error"].str.len() > 0).all()
+    assert (ok["width"] >= 16).all() and (ok["payload_bytes"] > 0).all()
+    assert ok["sha256"].str.len().eq(64).all()
+    # videos have frames, images exactly 1
+    assert (ok[ok["media_type"] == "image"]["n_frames"] == 1).all()
+    assert (ok[ok["media_type"] == "video"]["n_frames"] >= 2).all()
+
+
+def test_feature_extraction_deterministic(ray_session, media_tbl):
+    ds = rd.from_arrow(media_tbl)
+    a = build_media_features(ds, concurrency=(1, 2)).to_pandas().sort_values("media_ref")
+    b = build_media_features(rd.from_arrow(media_tbl), concurrency=(1, 2)).to_pandas().sort_values("media_ref")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_frame_sampler(ray_session, media_tbl):
+    ds = rd.from_arrow(media_tbl)
+    out = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 2)
+    ).to_pandas()
+    assert len(out) > 0
+    # only videos, at most k frames each, indices in range
+    g = out.groupby("media_ref").size()
+    assert (g <= 4).all()
+    assert (out["frame_idx"] >= 0).all()
+    assert out["frame_md5"].str.len().eq(32).all()
