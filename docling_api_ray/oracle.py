@@ -140,7 +140,19 @@ def _table_rows(node: _Node) -> list[list[str]]:
 
 
 def _has_blockish_child(node: _Node) -> bool:
-    return any(isinstance(c, _Node) and c.tag in BLOCKISH_TAGS for c in node.children)
+    """Blockish element reachable through inline (non-blockish, non-boiler)
+    descendants — the order-independent container test (spec rule 5)."""
+    for c in node.children:
+        if not isinstance(c, _Node):
+            continue
+        if c.tag in BLOCKISH_TAGS:
+            return True  # tag test first: boilerplate blocks (nav/footer/
+            # class-boiler divs) still mark the parent as a container
+        if _is_boiler(c):
+            continue  # class-boiler INLINE subtree is invisible
+        if _has_blockish_child(c):
+            return True
+    return False
 
 
 def extract_html(payload: str, cfg: PipelineConfig) -> list[tuple[str, str]]:

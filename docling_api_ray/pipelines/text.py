@@ -219,8 +219,18 @@ NEAR_DUP_THRESHOLD = 0.30
 MAX_BUCKET = 64  # skip degenerate LSH buckets (quadratic pair blowup guard)
 
 
+_HASH_CACHE: dict[str, int] = {}
+
+
 def _stable_hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+    h = _HASH_CACHE.get(s)
+    if h is None:
+        if len(_HASH_CACHE) > 1_000_000:  # bound worker memory
+            _HASH_CACHE.clear()
+        h = _HASH_CACHE[s] = int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+    return h
 
 
 def _shingles(text: str, n: int = 2) -> np.ndarray:
@@ -255,20 +265,42 @@ class MinHasher:
         return np.min(vals, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids = [], [], []
+        # batch-vectorized: one (k, total_shingles) permuted-hash matrix for
+        # the WHOLE batch, segmented per-doc min via np.minimum.reduceat
+        doc_ids_in = batch["doc_id"].to_pylist()
+        shingle_arrays = [_shingles(t) for t in batch["text"].to_pylist()]
+        keep = [i for i, s in enumerate(shingle_arrays) if len(s)]
+        if not keep:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate([shingle_arrays[i] for i in keep])
+        seg_starts = np.cumsum([0] + [len(shingle_arrays[i]) for i in keep[:-1]])
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * flat[None, :] + self.b[:, None]  # (k, total)
+        sigs = np.minimum.reduceat(vals, seg_starts, axis=1)  # (k, ndocs)
         r = MINHASH_K // LSH_BANDS
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.signature(text)
-            if sig is None:
-                continue
+        band_ids, band_hashes, doc_ids = [], [], []
+        for col, i in enumerate(keep):
+            sig = np.ascontiguousarray(sigs[:, col])
             for band in range(LSH_BANDS):
                 chunk = sig[band * r : (band + 1) * r]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
                 band_ids.append(band)
                 band_hashes.append(h)
-                doc_ids.append(doc_id)
+                doc_ids.append(doc_ids_in[i])
+        # coarse bucket for the shuffle: grouping by the full (band_id,
+        # band_hash) key would create ~rows×bands tiny groups and pay Ray's
+        # per-group overhead; 256 buckets + an in-batch pandas sub-group is
+        # equivalent and ~10x faster
+        buckets = [int(h[:2], 16) for h in band_hashes]
         return pa.table(
             {
+                "bucket": pa.array(buckets, type=pa.int32()),
                 "band_id": pa.array(band_ids, type=pa.int32()),
                 "band_hash": pa.array(band_hashes, type=pa.string()),
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -277,13 +309,15 @@ class MinHasher:
 
 
 def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(group["doc_id"].unique().tolist())
-    if len(ids) > MAX_BUCKET:  # degenerate bucket (boilerplate-identical band)
-        ids = []
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    pairs = []
+    for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
+        ids = sorted(sub["doc_id"].unique().tolist())
+        if len(ids) > MAX_BUCKET:  # degenerate band bucket
+            continue
+        pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
     if not pairs:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
-    return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    return pd.DataFrame(sorted(set(pairs)), columns=["doc_a", "doc_b"])
 
 
 class JaccardVerifier:
@@ -325,16 +359,30 @@ def q_doc_minhash_pairs(sf_dir: str):
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
     cands = (
-        bands.groupby(["band_id", "band_hash"])
+        bands.groupby("bucket")
         .map_groups(_candidate_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")  # dedup pairs
     )
-    # build the shingle index (documents table is the small side here)
+    # build the shingle index in PARALLEL (hashing distributed; the driver
+    # only collects the already-hashed arrays)
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        sh = [_shingles(x).tolist() for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "sh": pa.array(sh, pa.list_(pa.uint64()))}
+        )
+
     shingles = {}
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            shingles[doc_id] = _shingles(text)
+    for b in ds.map_batches(shingle_rows, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        la = b["sh"].combine_chunks() if isinstance(b["sh"], pa.ChunkedArray) else b["sh"]
+        offs = la.offsets.to_numpy()
+        flat = la.values.to_numpy(zero_copy_only=False)
+        for i, doc_id in enumerate(b["doc_id"].to_pylist()):
+            shingles[doc_id] = flat[offs[i] : offs[i + 1]]
     ref = ray.put(shingles)
     return cands.map_batches(
         JaccardVerifier,
@@ -379,6 +427,59 @@ def q_doc_simhash(sf_dir: str):
     return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
 
 
+SIMHASH_MAX_HAMMING = 6
+_SIMHASH_BANDS = 4  # 16 bits per band; hamming<=6 pairs share >=1 band w.h.p.
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 16-bit
+    bands, groupby (band_id, band_value) for candidates, verify exact
+    hamming distance. Same LSH shape as MinHash but on bit bands."""
+    sims = q_doc_simhash(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        band_ids, band_vals, doc_ids, hashes = [], [], [], []
+        for doc_id, hx in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
+            h = int(hx, 16)
+            for b in range(_SIMHASH_BANDS):
+                band_ids.append(b)
+                band_vals.append((h >> (16 * b)) & 0xFFFF)
+                doc_ids.append(doc_id)
+                hashes.append(hx)
+        return pa.table(
+            {
+                "bucket": pa.array([v & 0xFF for v in band_vals], pa.int32()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_val": pa.array(band_vals, pa.int32()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "simhash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby(["band_id", "band_val"], sort=False):
+            rows = sorted(set(zip(sub["doc_id"], sub["simhash"])))
+            if len(rows) > MAX_BUCKET:
+                continue
+            for i, (a, ha) in enumerate(rows):
+                for b, hb in rows[i + 1 :]:
+                    d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
+                    if d <= SIMHASH_MAX_HAMMING:
+                        out.append((a, b, d))
+        return pd.DataFrame(sorted(set(out)), columns=["doc_a", "doc_b", "hamming"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+
+    return (
+        sims.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
 QUERIES = {
     "q_doc_token_counts": q_doc_token_counts,
     "q_doc_quality": q_doc_quality,
@@ -388,6 +489,7 @@ QUERIES = {
     "q_doc_langid": q_doc_langid,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash": q_doc_simhash,
+    "q_doc_simhash_pairs": q_doc_simhash_pairs,
 }
 
 ORACLE = {

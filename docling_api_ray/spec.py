@@ -21,9 +21,11 @@ HTML (`kind="html"`), walking the element tree in document order:
      density ≤ LINK_DENSITY_MAX. Link density = len(collapse(text within
      <a> descendants)) / len(collapse(all text)), computed on the raw
      concatenations (chunking-invariant). No spans from inside.
-  5. div / section / article / blockquote: if the element has a block-ish
-     child element (BLOCKISH_TAGS), recurse into children (its own bare
-     text is ignored); else treat the element like a paragraph (rule 4).
+  5. div / section / article / blockquote: if a block-ish element
+     (BLOCKISH_TAGS) is reachable from it through inline (non-blockish,
+     non-boilerplate) descendants, the element is a container — recurse
+     into children, its own bare text is ignored; else treat the element
+     like a paragraph (rule 4).
   6. All other elements: recurse. Bare text not inside any block is
      ignored. <br> contributes a single space. An open <p> is implicitly
      closed by a new <p> (HTML omitted-end-tag rule).

@@ -43,9 +43,9 @@ _TABLE = 5
 
 
 class _Frame:
-    __slots__ = ("mode", "tag", "all", "link", "rows", "cur_row", "cur_cell")
+    __slots__ = ("mode", "tag", "all", "link", "rows", "cur_row", "cur_cell", "a_base")
 
-    def __init__(self, mode: int, tag: str):
+    def __init__(self, mode: int, tag: str, a_base: int = 0):
         self.mode = mode
         self.tag = tag
         self.all: list[str] = []
@@ -53,6 +53,9 @@ class _Frame:
         self.rows: list[list[str]] | None = None
         self.cur_row: list[str] | None = None
         self.cur_cell: list[str] | None = None
+        # link density counts only <a> DESCENDANTS of the block (spec rule
+        # 4): chars are "linked" only while a_depth exceeds this baseline
+        self.a_base = a_base
 
 
 class _Entry:
@@ -158,16 +161,13 @@ class StreamHtmlExtractor(HTMLParser):
         if mode == _SKIP:
             self.stack.append(_Entry(tag, ctx, False, False))
             return
-        # a DIRECT blockish child (boilerplate included — it is still a
-        # block element) converts a leaf-div candidate into a plain
-        # container: its own bare text is discarded
-        if (
-            mode == _LEAF
-            and tag in BLOCKISH_TAGS
-            and self.stack
-            and self.stack[-1].frame is ctx
-            and self.stack[-1].owns
-        ):
+        # a blockish element reachable through inline wrappers (boilerplate
+        # included — it is still a block element) converts a leaf-div
+        # candidate into a plain container: its own bare text is discarded.
+        # Reachability through inline-only paths holds by construction: a
+        # blockish element under _LEAF either converted the frame already
+        # or was absorbed into a nested non-_LEAF frame.
+        if mode == _LEAF and tag in BLOCKISH_TAGS:
             ctx.mode = _PASS
             ctx.all.clear()
             ctx.link.clear()
@@ -205,9 +205,13 @@ class StreamHtmlExtractor(HTMLParser):
             f.rows = []
             self.stack.append(_Entry(tag, f, True, is_link))
         elif tag in PARAGRAPH_TAGS:
-            self.stack.append(_Entry(tag, _Frame(_PARA, tag), True, is_link))
+            self.stack.append(
+                _Entry(tag, _Frame(_PARA, tag, self.a_depth), True, is_link)
+            )
         elif tag in CONTAINER_TAGS:
-            self.stack.append(_Entry(tag, _Frame(_LEAF, tag), True, is_link))
+            self.stack.append(
+                _Entry(tag, _Frame(_LEAF, tag, self.a_depth), True, is_link)
+            )
         else:
             self.stack.append(_Entry(tag, ctx, False, is_link))
 
@@ -231,7 +235,7 @@ class StreamHtmlExtractor(HTMLParser):
         mode = f.mode
         if mode in (_HEAD, _PARA, _LEAF):
             f.all.append(data)
-            if self.a_depth > 0 and mode != _HEAD:
+            if self.a_depth > f.a_base and mode != _HEAD:
                 f.link.append(data)
         elif mode == _TABLE:
             if f.cur_cell is not None:
