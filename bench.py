@@ -36,6 +36,10 @@ BENCH_QUERIES = [
     "q_doc_minhash_pairs",
     "q_ann_topk",
     "q_embedding_near_dup",
+    "q_events_sliding",
+    "q_doc_simhash_pairs",
+    "q_media_features",
+    "q_top_orders_per_segment",
 ]
 
 

@@ -501,3 +501,70 @@ ORACLE = {
     # q_doc_langid / q_doc_minhash_pairs / q_doc_simhash: not
     # SQL-expressible → rows-only driver check; verified in pytest instead
 }
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprinting (content-defined chunking)
+
+CDC_MASK = 0x3F  # boundary when rolling hash % 64 == 0 → ~64-byte chunks
+CDC_WINDOW = 16
+_POLY_BASE = np.uint64(1099511628211)
+
+
+class RollingChunker:
+    """Rabin-Karp-style rolling hash over the text bytes; chunk boundaries
+    where hash & CDC_MASK == 0 (content-defined, shift-resistant — the
+    classic dedup fingerprint for near-identical documents with edits).
+    Emits per doc: chunk count + md5 of the chunk-hash sequence, plus the
+    set of chunk hashes for overlap queries. Deterministic; vectorized with
+    numpy cumulative polynomial hashing per doc."""
+
+    def __init__(self):
+        # precompute powers for the sliding window
+        self.pow_w = _POLY_BASE ** np.uint64(CDC_WINDOW - 1)
+
+    def chunk_hashes(self, data: bytes) -> np.ndarray:
+        if len(data) < CDC_WINDOW:
+            return np.array([_stable_hash64(data.decode("latin1"))], dtype=np.uint64)
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        n = len(arr)
+        with np.errstate(over="ignore"):
+            # rolling hash h[i] over window [i, i+W): computed iteratively
+            h = np.zeros(n - CDC_WINDOW + 1, dtype=np.uint64)
+            cur = np.uint64(0)
+            for j in range(CDC_WINDOW):
+                cur = cur * _POLY_BASE + arr[j]
+            h[0] = cur
+            for i in range(1, n - CDC_WINDOW + 1):
+                cur = (cur - arr[i - 1] * self.pow_w) * _POLY_BASE + arr[i + CDC_WINDOW - 1]
+                h[i] = cur
+        bounds = np.nonzero((h & np.uint64(CDC_MASK)) == 0)[0]
+        starts = [0] + [int(b) + CDC_WINDOW for b in bounds if 0 < b + CDC_WINDOW < len(data)]
+        starts = sorted(set(starts))
+        chunks = [data[s:e] for s, e in zip(starts, starts[1:] + [len(data)])]
+        return np.array(
+            [_stable_hash64(c.decode("latin1")) for c in chunks], dtype=np.uint64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_chunks, fps = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            hs = self.chunk_hashes(text.encode("utf-8"))
+            ids.append(doc_id)
+            n_chunks.append(len(hs))
+            fps.append(hashlib.md5(hs.tobytes()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chunks": pa.array(n_chunks, pa.int64()),
+                "chunk_fp": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def q_doc_rolling_fingerprint(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(RollingChunker, batch_format="pyarrow", concurrency=(1, 4))
+
+
+QUERIES["q_doc_rolling_fingerprint"] = q_doc_rolling_fingerprint

@@ -79,3 +79,21 @@ def test_langid_deterministic(ray_session):
     b = q_doc_langid(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert set(a["predicted"]) <= {"en", "de", "fr", "es", "unknown"}
+
+
+def test_rolling_fingerprint(ray_session):
+    from docling_api_ray.pipelines.text import RollingChunker, q_doc_rolling_fingerprint
+
+    out = q_doc_rolling_fingerprint(SF).to_pandas()
+    assert len(out) > 0 and (out["n_chunks"] >= 1).all()
+    # deterministic
+    out2 = q_doc_rolling_fingerprint(SF).to_pandas()
+    assert out.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True)
+    )
+    # content-defined chunking: a prefix edit leaves later chunks shared
+    r = RollingChunker()
+    base = b"some repeated content block for chunking purposes here " * 8
+    a = set(r.chunk_hashes(base).tolist())
+    b = set(r.chunk_hashes(b"EDIT " + base).tolist())
+    assert a & b, "CDC should survive a prefix shift"
