@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--wave-size", type=int, default=16)
     ap.add_argument("--format", default="markdown", choices=["markdown", "json", "both"])
     ap.add_argument("--no-tables", action="store_true")
+    ap.add_argument("--ocr", action="store_true", help="emit OCR-text spans after pictures")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -53,6 +54,7 @@ def main() -> None:
     cfg = PipelineConfig(
         output_format=args.format,
         enable_table_extraction=not args.no_tables,
+        enable_ocr=args.ocr,
         extractor_concurrency=(2, max(2, args.num_cpus - 2)),
     )
     summary = run_job(paths, args.output, cfg, wave_size=args.wave_size)

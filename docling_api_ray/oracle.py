@@ -217,7 +217,10 @@ def extract_document(
                 if pages > cfg.max_pages:
                     return _error_row(doc_id, ERR_TOO_MANY_PAGES)
             elif kind == "image":
-                out.append(_span("picture", "", sp["media_ref"] or "", len(out)))
+                mref = sp["media_ref"] or ""
+                out.append(_span("picture", "", mref, len(out)))
+                if cfg.enable_ocr:
+                    out.append(_span("text", f"[ocr {mref}]", "", len(out)))
             elif kind == "html":
                 for k, t in extract_html(text, cfg):
                     out.append(_span(k, t, "", len(out)))

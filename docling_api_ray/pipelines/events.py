@@ -145,7 +145,63 @@ FROM h
 """
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join within the event log: each purchase matched to the
+    user's latest view at-or-before it. Ray side: partition by user
+    (groupby), sort within group, `pd.merge_asof` — the guide's canonical
+    as-of pattern; oracle: DuckDB native ASOF JOIN."""
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        buys = g[g["event_type"] == "purchase"]
+        views = g[g["event_type"] == "view"]
+        if buys.empty or views.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_ts": pd.Series(dtype="int64"),
+                    "last_view_ts": pd.Series(dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            buys[["event_id", "user_id", "ts"]],
+            views[["ts"]].rename(columns={"ts": "view_ts"}),
+            left_on="ts",
+            right_on="view_ts",
+            direction="backward",
+        ).dropna(subset=["view_ts"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                # normalize to µs first: pandas may carry ns or µs units
+                "purchase_ts": (
+                    m["ts"].astype("datetime64[us]").astype("int64") // 10**6
+                ),
+                "last_view_ts": (
+                    m["view_ts"].astype("datetime64[us]").astype("int64") // 10**6
+                ),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+ASOF_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) // 1000000 AS purchase_ts,
+       epoch_us(v.ts) // 1000000 AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 QUERIES = {
+    "q_events_asof": q_events_asof,
     "q_events_hourly": q_events_hourly,
     "q_events_user_stats": q_events_user_stats,
     "q_events_sessionize": q_events_sessionize,
@@ -153,6 +209,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_events_asof": ASOF_SQL,
     "q_events_hourly": HOURLY_SQL,
     "q_events_user_stats": USER_STATS_SQL,
     "q_events_sessionize": SESSIONIZE_SQL,

@@ -30,7 +30,23 @@ def corpus_for(sf_dir: str, factor: int = 4) -> str:
     path = f"/tmp/docling_ray_corpus/n{n_docs}_s{SEED}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
-        synth.write_corpus(path, n_docs, seed=SEED, num_files=max(4, n_docs // 2000))
+        import ray
+
+        if n_docs > 10_000 and ray.is_initialized():
+            # distributed generation (driver-side write_corpus would
+            # single-thread minutes of doc synthesis at bench scale)
+            import pyarrow.compute as pc
+
+            ds = synth.generate_dataset(n_docs, seed=SEED, parallelism=64)
+            os.makedirs(path, exist_ok=True)
+            ds.map_batches(
+                lambda t: t.append_column(
+                    "n_spans", pc.cast(pc.list_value_length(t["spans"]), pa.int32())
+                ),
+                batch_format="pyarrow",
+            ).write_parquet(path, row_group_size=200)
+        else:
+            synth.write_corpus(path, n_docs, seed=SEED, num_files=max(4, n_docs // 2000))
         with open(marker, "w") as f:
             f.write("ok")
     return path

@@ -41,7 +41,12 @@ pdf_table (`kind="pdf_table"`): non-blank lines split on "|", cells
   stripped → `format_table`.
 
 image → picture span (text="", media_ref preserved — the span-linking
-  invariant, SURVEY.md §2.4 J4). page_break → no span;
+  invariant, SURVEY.md §2.4 J4); with `enable_ocr` (reference
+  `api/models/schemas.py:115`, Tesseract stage `modal_docling.py:162-179`)
+  the picture is followed by a deterministic OCR-text span
+  "[ocr <media_ref>]" — the real engine would run the OCR model here
+  (actor-pool stage); the deterministic core fakes the text but keeps the
+  span-flow plumbing real. page_break → no span;
   pages = 1 + count(page_break) (`modal_docling.py:245`; fallback-to-1
   semantics `docling_client.py:444-449`). Output offsets dense 0..n-1.
 

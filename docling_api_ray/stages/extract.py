@@ -86,6 +86,10 @@ class DocumentExtractor:
                     out_k.append("picture")
                     out_t.append("")
                     out_m.append(mref or "")
+                    if cfg.enable_ocr:
+                        out_k.append("text")
+                        out_t.append(f"[ocr {mref or ''}]")
+                        out_m.append("")
                 elif kind == "page_break":
                     pages += 1
                     if pages > cfg.max_pages:

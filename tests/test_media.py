@@ -66,3 +66,35 @@ def test_frame_sampler(ray_session, media_tbl):
     assert (g <= 4).all()
     assert (out["frame_idx"] >= 0).all()
     assert out["frame_md5"].str.len().eq(32).all()
+
+
+def test_vlm_captioner_pipeline(ray_session, tmp_path):
+    import pytest as _pytest
+
+    from docling_api_ray import synth
+    from docling_api_ray.config import PipelineConfig
+    from docling_api_ray.pipelines.extraction import build_extraction
+    from docling_api_ray.stages.vlm import RemoteVlmProvider, build_vlm_captions
+
+    with _pytest.raises(NotImplementedError):
+        RemoteVlmProvider("gpt-4o")
+
+    synth.write_corpus(str(tmp_path / "c"), 60, seed=3, num_files=2)
+    res = build_extraction(
+        str(tmp_path / "c"),
+        PipelineConfig(extractor_concurrency=(1, 2)),
+        serialize=False,
+    )
+    caps = build_vlm_captions(res, concurrency=(1, 2)).to_pandas()
+    assert len(caps) > 0
+    ok = caps[caps["status"] == "success"]
+    bad = caps[caps["status"] == "error"]
+    assert (ok["caption"].str.startswith("caption[")).all()
+    assert len(bad) > 0 and (bad["error"].str.contains("provider error")).all()
+    # deterministic captions keyed by media_ref
+    a = caps.sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    caps2 = build_vlm_captions(
+        build_extraction(str(tmp_path / "c"), PipelineConfig(extractor_concurrency=(1, 2)), serialize=False),
+        concurrency=(1, 2),
+    ).to_pandas().sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
+    assert a.equals(caps2)

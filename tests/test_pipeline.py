@@ -144,3 +144,22 @@ def test_actor_pool_mode_matches(ray_session, corpus_dir, default_out, oracle_ro
     got = out.sort_values("doc_id").reset_index(drop=True)
     assert got["markdown"].tolist() == exp["markdown"].tolist()
     assert [norm_spans(s) for s in got["spans"]] == [norm_spans(s) for s in exp["spans"]]
+
+
+def test_options_enable_ocr(ray_session, corpus_dir):
+    # enable_ocr: picture spans gain a deterministic OCR-text span, in both
+    # oracle and engine (fake text, real span-flow plumbing — spec.py)
+    cfg = PipelineConfig(enable_ocr=True, extractor_concurrency=(1, 2))
+    out = run(corpus_dir, cfg)
+    docs = [synth.make_doc(SEED, i) for i in range(N_DOCS)]
+    exp = {r["doc_id"]: r for r in oracle.extract_corpus(docs, cfg)}
+    saw_ocr = 0
+    for _, row in out.iterrows():
+        assert norm_spans(row["spans"]) == norm_spans(exp[row["doc_id"]]["spans"])
+        spans = row["spans"]
+        for i, s in enumerate(spans):
+            if s["kind"] == "picture":
+                nxt = spans[i + 1]
+                assert nxt["kind"] == "text" and nxt["text"] == f"[ocr {s['media_ref']}]"
+                saw_ocr += 1
+    assert saw_ocr > 0
