@@ -235,27 +235,70 @@ def q5_region_revenue(sf_dir: str):
             "rev", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         ).select(["l_orderkey", "l_suppkey", "rev"])
 
-    joined = li.map_batches(filt_li, batch_format="pyarrow").join(
-        orders.map_batches(filt_orders, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    # Explicit hash-partitioned join: bucket both sides by key hash, union,
+    # one groupby(bucket) shuffle, pandas merge per bucket. (Ray 2.49's
+    # native Dataset.join was evaluated here and found unstable in local
+    # mode — unbounded worker churn and 10x wall-time outliers — so the
+    # engine uses the portable bucketed pattern for large-large joins.)
+    N_BUCKETS = 64
+
+    def li_side(t: pa.Table) -> pa.Table:
+        t = filt_li(t)
+        key = t["l_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(N_BUCKETS - 1, pa.int64())),
+                    pa.int32(),
+                ),
+                "key": key,
+                "side": pa.array(["l"] * len(t), pa.string()),
+                "suppkey": t["l_suppkey"],
+                "custkey": pa.array([0] * len(t), pa.int64()),
+                "rev": t["rev"],
+            }
+        )
+
+    def ord_side(t: pa.Table) -> pa.Table:
+        t = filt_orders(t)
+        key = t["o_orderkey"]
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(key, pa.scalar(N_BUCKETS - 1, pa.int64())),
+                    pa.int32(),
+                ),
+                "key": key,
+                "side": pa.array(["o"] * len(t), pa.string()),
+                "suppkey": pa.array([0] * len(t), pa.int64()),
+                "custkey": t["o_custkey"],
+                "rev": pa.array([0.0] * len(t), pa.float64()),
+            }
+        )
+
+    both = li.map_batches(li_side, batch_format="pyarrow").union(
+        orders.map_batches(ord_side, batch_format="pyarrow")
     )
 
-    def to_nation(t: pa.Table) -> pa.Table:
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         sn, cn, names = ray.get(dims)
-        sup = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        cus = t["o_custkey"].to_numpy(zero_copy_only=False)
-        s_nat = np.array([sn[s] for s in sup]) if len(sup) else np.array([], dtype=np.int64)
-        c_nat = np.array([cn[c] for c in cus]) if len(cus) else np.array([], dtype=np.int64)
-        keep = s_nat == c_nat  # Q5 constraint: supplier and customer in same nation
-        t = t.filter(pa.array(keep))
-        nn = [names[n] for n in s_nat[keep]]
-        return pa.table({"n_name": pa.array(nn, type=pa.string()), "rev": t["rev"]})
+        left = g[g["side"] == "l"]
+        right = g[g["side"] == "o"]
+        if left.empty or right.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype=object), "rev": pd.Series(dtype="float64")})
+        m = left.merge(right[["key", "custkey"]], on="key", suffixes=("", "_o"))
+        s_nat = m["suppkey"].map(sn)
+        c_nat = m["custkey_o"].map(cn)
+        m = m[s_nat == c_nat]  # Q5 constraint: supplier + customer same nation
+        if m.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype=object), "rev": pd.Series(dtype="float64")})
+        return pd.DataFrame(
+            {"n_name": m["suppkey"].map(sn).map(names), "rev": m["rev"]}
+        )
 
     out = (
-        joined.map_batches(to_nation, batch_format="pyarrow")
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
         .groupby("n_name")
         .aggregate(Sum("rev", alias_name="revenue"))
     )

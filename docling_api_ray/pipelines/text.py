@@ -568,3 +568,31 @@ def q_doc_rolling_fingerprint(sf_dir: str):
 
 
 QUERIES["q_doc_rolling_fingerprint"] = q_doc_rolling_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling: hash-of-key sampling is reproducible across runs,
+# cluster sizes and partitionings (unlike random_sample), and pushes down
+# to a plain filter — the right sampling primitive for a 100 TB corpus.
+
+
+def q_doc_sample(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(str(d).encode()).hexdigest()[0] in ("0", "1")
+            for d in t["doc_id"].to_pylist()
+        ]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+"""
+
+QUERIES["q_doc_sample"] = q_doc_sample
+ORACLE["q_doc_sample"] = SAMPLE_SQL
