@@ -14,6 +14,17 @@ import json
 import os
 
 
+def parse_ocr_languages(raw: str) -> tuple[str, ...]:
+    """Comma-split + strip via Arrow kernels — the reference's
+    `ocr_languages` parse (api/routes/documents.py:185-187) done columnar."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.split_pattern(pa.array([raw]), pattern=",")
+    vals = pc.utf8_trim_whitespace(pc.list_flatten(arr))
+    return tuple(v for v in vals.to_pylist() if v)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="Ray-Data document extraction job")
     ap.add_argument("--input", required=True, help="corpus dir of parquet shards")
@@ -24,6 +35,7 @@ def main() -> None:
     ap.add_argument("--format", default="markdown", choices=["markdown", "json", "both"])
     ap.add_argument("--no-tables", action="store_true")
     ap.add_argument("--ocr", action="store_true", help="emit OCR-text spans after pictures")
+    ap.add_argument("--ocr-languages", default="eng", help="comma-separated (reference documents.py:185-187)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -55,6 +67,7 @@ def main() -> None:
         output_format=args.format,
         enable_table_extraction=not args.no_tables,
         enable_ocr=args.ocr,
+        ocr_languages=parse_ocr_languages(args.ocr_languages),
         extractor_concurrency=(2, max(2, args.num_cpus - 2)),
     )
     summary = run_job(paths, args.output, cfg, wave_size=args.wave_size)
