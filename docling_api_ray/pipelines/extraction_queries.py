@@ -39,12 +39,15 @@ def corpus_for(sf_dir: str, factor: int = 4) -> str:
 
             ds = synth.generate_dataset(n_docs, seed=SEED, parallelism=64)
             os.makedirs(path, exist_ok=True)
+            # size-bucketed layout: sort by n_spans so row-group stats are
+            # selective and the small/giant reads prune at storage (the
+            # one-time sort is the layout cost, paid at corpus build)
             ds.map_batches(
                 lambda t: t.append_column(
                     "n_spans", pc.cast(pc.list_value_length(t["spans"]), pa.int32())
                 ),
                 batch_format="pyarrow",
-            ).write_parquet(path, row_group_size=200)
+            ).sort("n_spans").write_parquet(path, row_group_size=200)
         else:
             synth.write_corpus(path, n_docs, seed=SEED, num_files=max(4, n_docs // 2000))
         with open(marker, "w") as f:

@@ -189,6 +189,8 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, num_files: int = 0) -> 
 
     import pyarrow.parquet as pq
 
+    import pyarrow.compute as pc
+
     os.makedirs(path, exist_ok=True)
     if num_files <= 0:
         num_files = max(1, n_docs // 2000)
@@ -201,13 +203,15 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, num_files: int = 0) -> 
             break
         p = os.path.join(path, f"part-{f:05d}.parquet")
         tbl = make_table(seed, start, count)
-        # `n_spans` layout column: enables parquet row-group predicate
-        # pushdown for the pipeline's small/giant branch point
-        import pyarrow.compute as pc
-
+        # size-bucketed layout: `n_spans` column + rows sorted by it so
+        # row-group min/max statistics become selective — the pipeline's
+        # small/giant branch then PRUNES row groups at the read instead of
+        # filtering post-scan (mixed row groups would make the stats span
+        # the threshold and prune nothing)
         tbl = tbl.append_column(
             "n_spans", pc.cast(pc.list_value_length(tbl["spans"]), pa.int32())
         )
+        tbl = tbl.sort_by("n_spans")
         pq.write_table(tbl, p, row_group_size=200)
         paths.append(p)
     return paths
