@@ -117,29 +117,71 @@ class ChunkExtractor:
         self.inner = DocumentExtractor(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for row in batch.to_pylist():
-            if row["status"] == "error":
-                out.append(row)
+        # columnar: flat-decode the span children once for the whole batch,
+        # run the core per chunk, rebuild with list-array assembly (same
+        # technique as DocumentExtractor.__call__; chunks carry their
+        # routing columns through untouched)
+        la = batch.column("spans").combine_chunks()
+        if isinstance(la, pa.ChunkedArray):
+            la = (
+                la.chunk(0)
+                if la.num_chunks
+                else pa.array([], type=batch.schema.field("spans").type)
+            )
+        offs = la.offsets.to_numpy()
+        vals = la.values
+        in_kinds = vals.field(0).to_pylist()
+        in_texts = vals.field(1).to_pylist()
+        in_media = vals.field(2).to_pylist()
+        statuses = batch.column("status").to_pylist()
+        flat_k: list[str] = []
+        flat_t: list[str] = []
+        flat_m: list[str] = []
+        flat_o: list[int] = []
+        list_offsets: list[int] = [0]
+        out_status: list[str] = []
+        out_error: list[str] = []
+        core = self.inner.extract_core
+        for i in range(len(offs) - 1):
+            if statuses[i] == "error":  # validation-failure rows pass through
+                list_offsets.append(len(flat_k))
+                out_status.append("error")
+                out_error.append(batch.column("error")[i].as_py())
                 continue
-            res = self.inner.extract_one(
-                row["doc_id"],
-                [s["kind"] for s in row["spans"]],
-                [s["text"] for s in row["spans"]],
-                [s["media_ref"] for s in row["spans"]],
+            lo, hi = offs[i], offs[i + 1]
+            out_k, out_t, out_m, _, err = core(
+                in_kinds[lo:hi], in_texts[lo:hi], in_media[lo:hi]
             )
-            out.append(
-                {
-                    "doc_id": row["doc_id"],
-                    "chunk_id": row["chunk_id"],
-                    "n_chunks": row["n_chunks"],
-                    "pages": row["pages"],
-                    "spans": res["spans"],
-                    "status": "success" if res["status"] == "success" else "error",
-                    "error": res["error"],
-                }
-            )
-        return pa.Table.from_pylist(out, schema=CHUNK_SCHEMA)
+            flat_k.extend(out_k)
+            flat_t.extend(out_t)
+            flat_m.extend(out_m)
+            flat_o.extend(range(len(out_k)))
+            list_offsets.append(len(flat_k))
+            out_status.append("error" if err else "success")
+            out_error.append(err)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(flat_k, type=pa.string()),
+                pa.array(flat_t, type=pa.string()),
+                pa.array(flat_m, type=pa.string()),
+                pa.array(flat_o, type=pa.int32()),
+            ],
+            fields=list(SPAN),
+        )
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(list_offsets, type=pa.int32()), struct
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "chunk_id": batch.column("chunk_id"),
+                "n_chunks": batch.column("n_chunks"),
+                "pages": batch.column("pages"),
+                "spans": spans_arr,
+                "status": pa.array(out_status, type=pa.string()),
+                "error": pa.array(out_error, type=pa.string()),
+            }
+        )
 
 
 _CHUNK_CACHE: dict = {}
@@ -182,33 +224,81 @@ def make_reassembler(output_format: str | None):
             )
         return pa.Table.from_pylist([row], schema=schema)
 
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..schema import SPAN as _SPAN
+    from .serialize import _markdown_from_cols
+
     def reassemble(group: pa.Table) -> pa.Table:
-        rows = sorted(group.to_pylist(), key=lambda r: r["chunk_id"])
-        doc_id = rows[0]["doc_id"]
-        for r in rows:
-            if r["status"] == "error":
+        group = group.sort_by("chunk_id")
+        doc_id = group.column("doc_id")[0].as_py()
+        statuses = group.column("status").to_pylist()
+        for i, s in enumerate(statuses):
+            if s == "error":  # earliest-chunk error wins (sorted order)
                 return finish(
                     {
                         "doc_id": doc_id,
                         "spans": [],
                         "pages": 0,
                         "status": "error",
-                        "error": r["error"],
+                        "error": group.column("error")[i].as_py(),
                     }
                 )
-        spans = []
-        for r in rows:
-            for s in r["spans"]:
-                s["offset"] = len(spans)
-                spans.append(s)
-        return finish(
-            {
-                "doc_id": doc_id,
-                "spans": spans,
-                "pages": rows[0]["pages"],
-                "status": "success",
-                "error": "",
-            }
+        # columnar concat: flatten all chunk span lists in chunk order and
+        # renumber offsets densely — no per-span python dicts
+        flat = pc.list_flatten(group.column("spans"))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        struct = pa.StructArray.from_arrays(
+            [
+                flat.field(0),
+                flat.field(1),
+                flat.field(2),
+                pa.array(np.arange(n, dtype=np.int32)),
+            ],
+            fields=list(_SPAN),
         )
+        spans_arr = pa.ListArray.from_arrays(pa.array([0, n], type=pa.int32()), struct)
+        pages = group.column("pages")[0].as_py()
+        cols = {
+            "doc_id": pa.array([doc_id], pa.string()),
+            "spans": spans_arr,
+            "pages": pa.array([pages], pa.int32()),
+            "status": pa.array(["success"], pa.string()),
+            "error": pa.array([""], pa.string()),
+        }
+        if output_format in ("markdown", "both"):
+            cols["markdown"] = pa.array(
+                [_markdown_from_cols(flat.field(0).to_pylist(), flat.field(1).to_pylist())],
+                pa.string(),
+            )
+        if output_format in ("json", "both"):
+            import json as _json
+
+            cols["json"] = pa.array(
+                [
+                    _json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "pages": pages,
+                            "status": "success",
+                            "content": [
+                                {"kind": k, "text": t, "media_ref": m}
+                                for k, t, m in zip(
+                                    flat.field(0).to_pylist(),
+                                    flat.field(1).to_pylist(),
+                                    flat.field(2).to_pylist(),
+                                )
+                            ],
+                        },
+                        sort_keys=True,
+                        separators=(",", ":"),
+                    )
+                ],
+                pa.string(),
+            )
+        return pa.table(cols)
 
     return reassemble
