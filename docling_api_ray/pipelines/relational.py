@@ -12,8 +12,9 @@ usage rollups `api/services/key_service.py:166-179`, sort+limit
 
 Scale notes: dimension tables (region/nation/customer/supplier/part) are
 broadcast via ray.put and joined with in-batch lookups — no shuffle;
-lineitem⋈orders uses Ray's hash-partitioned Dataset.join; aggregates ride
-Ray's partial/final groupby. Column names match ORACLE exactly (driver
+lineitem⋈orders uses an explicit bucketed hash join (one groupby(bucket)
+shuffle over both sides; Ray 2.49's native Dataset.join proved unstable
+in local mode); aggregates ride Ray's partial/final groupby. Column names match ORACLE exactly (driver
 hashes sorted-by-name columns). Money aggregates are rounded to 2 digits
 on both sides.
 """
@@ -667,3 +668,33 @@ ORACLE = {
     "q_top_customers": TOP_CUST_SQL,
     "q_top_orders_per_segment": TOP_PER_SEGMENT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Set operations: union / intersect / except over keyed row sets
+def q_set_ops_customers(sf_dir: str):
+    """Customers that placed an URGENT order but never a LOW one —
+    EXCEPT over broadcast key sets (set ops as semi/anti filters)."""
+    urgent = _cust_with_orders(sf_dir, priority="1-URGENT")
+    low = _cust_with_orders(sf_dir, priority="5-LOW")
+    keep = broadcast(urgent - low)
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        keys = ray.get(keep)
+        mask = pc.is_in(t["c_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
+        return t.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+SET_OPS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+"""
+
+QUERIES["q_set_ops_customers"] = q_set_ops_customers
+ORACLE["q_set_ops_customers"] = SET_OPS_SQL

@@ -47,3 +47,31 @@ def test_fuzz_three_way_agreement():
         c = fast.extract(html)
         assert a == b, f"seed {i}: oracle!=stream on {html!r}"
         assert a == c, f"seed {i}: oracle!=fast on {html!r}"
+
+
+def test_pdf_text_fuzz_properties():
+    """Property fuzz for the pdf_text rule: every non-blank input line's
+    words appear in order in the output; headings only from #-lines."""
+    from docling_api_ray.spec import extract_pdf_text
+
+    for i in range(300):
+        rng = random.Random(5000 + i)
+        lines = []
+        for _ in range(rng.randint(1, 12)):
+            r = rng.random()
+            if r < 0.2:
+                lines.append("")
+            elif r < 0.4:
+                lines.append("#" * rng.randint(1, 8) + rng.choice([" ", ""]) + "Head line")
+            else:
+                lines.append("  ".join(rng.choice(TEXTS[:2] + ["plain words here"]) for _ in range(2)))
+        payload = "\n".join(lines)
+        out = extract_pdf_text(payload)
+        joined = " ".join(t for _, t in out)
+        for line in lines:
+            stripped = line.strip()
+            if stripped and not stripped.startswith("#"):
+                for w in stripped.split():
+                    assert w in joined
+        for k, t in out:
+            assert k in ("heading", "text") and t
