@@ -223,9 +223,13 @@ class StreamHtmlExtractor(HTMLParser):
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
             return
-        for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].tag == tag:
-                while len(self.stack) > i:
+        stack = self.stack
+        if stack and stack[-1].tag == tag:  # fast path: well-formed close
+            self._pop()
+            return
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == tag:
+                while len(stack) > i:
                     self._pop()
                 return
         # stray end tag: ignore
@@ -296,7 +300,7 @@ class FastHtmlExtractor(StreamHtmlExtractor):
                 text = payload[pos:start]
                 self.handle_data(_unescape(text) if "&" in text else text)
             pos = m.end()
-            slash, tag, attrstr, selfclose = m.group(1), m.group(2), m.group(3), m.group(4)
+            slash, tag, attrstr, selfclose = m.group(1, 2, 3, 4)
             if tag is None:
                 continue  # comment / doctype / pi
             tag = tag.lower()
