@@ -151,10 +151,20 @@ def run_scaling() -> dict:
 
         if _sh.which("taskset"):
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
-        out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, check=True
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # retry guard: with op resource reservation disabled, very low CPU
+        # budgets can intermittently livelock the multi-operator DAG; a
+        # fresh process resolves it
+        for attempt in range(3):
+            try:
+                out = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True, check=True,
+                    timeout=420,
+                ).stdout
+                return json.loads(out.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+                if attempt == 2:
+                    raise
+        raise RuntimeError("unreachable")
 
     # default levels 4 and 16 ("N and 4N CPUs" protocol): this single box's
     # memory bandwidth saturates near ~16-20 cores for this string-heavy

@@ -117,8 +117,14 @@ def build_extraction(
     )
     # repartition so chunk extraction isn't fused into a handful of tasks —
     # the whole point of splitting giants is spreading them across workers.
-    # Cost: an all-to-all over the ~2% giant slice only.
-    chunks = chunks.repartition(cfg.chunk_partitions)
+    # Cost: an all-to-all over the ~2% giant slice only. Partition count is
+    # capped at 2×CPUs: more would oversubmit the downstream map_groups
+    # (dozens of queued tasks → a worker-spawn storm that can stall small
+    # CPU budgets with op reservation disabled).
+    import ray as _ray
+
+    n_parts = min(cfg.chunk_partitions, max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2))
+    chunks = chunks.repartition(n_parts)
     if cfg.extractor_mode == "actors":
         # the giant slice gets its own SMALL pool: min 1 so the two pools'
         # floors can never reserve every CPU (read/sort starvation deadlock)
