@@ -276,3 +276,51 @@ ORACLE = {
     "q_embedding_near_dup": NEAR_DUP_SQL,
     # q_ann_ivf: approximate → rows-only; recall asserted in pytest
 }
+
+
+# ---------------------------------------------------------------------------
+# k-NN label voting (classification primitive): vote counts of the top-k
+# neighbors' labels per query — deterministic (ties broken by neighbor id)
+# and SQL-checked.
+
+
+def q_knn_label_votes(sf_dir: str):
+    topk = q_ann_topk(sf_dir)  # (query_id, neighbor_id, sim) top-5 per query
+    t = read_small(sf_dir, "embeddings", columns=["vec_id", "label"])
+    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    ref = ray.put(labels)
+
+    def vote(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        lab = [int(m[n]) for n in batch["neighbor_id"].to_pylist()]
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "label": pa.array(lab, pa.int32()),
+            }
+        )
+
+    return (
+        topk.map_batches(vote, batch_format="pyarrow")
+        .groupby(["query_id", "label"])
+        .aggregate(Count(alias_name="n_votes"))
+    )
+
+
+KNN_VOTES_SQL = f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+topk AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.vec_id
+  QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.emb, CAST(e.embedding AS DOUBLE[])) DESC,
+               e.vec_id) <= {TOP_K}
+)
+SELECT query_id, label, count(*) AS n_votes FROM topk GROUP BY 1, 2
+"""
+
+QUERIES["q_knn_label_votes"] = q_knn_label_votes
+ORACLE["q_knn_label_votes"] = KNN_VOTES_SQL
