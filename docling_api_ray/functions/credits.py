@@ -1,8 +1,15 @@
-"""Credits arithmetic — exact parity with the reference's billing math
+"""Credits arithmetic over extraction results.
+
+Per-document formula matches the reference
 (`/root/reference/api/routes/documents.py:35-41`):
 credits = max(pages * credits_per_page, min_credits_per_document), charged
-only for successful conversions; request-level totals mirror
-`documents.py:76-78` (sum of pages / count of successes)."""
+only for successful conversions. DELIBERATE DEVIATION at the rollup level:
+the reference computes max(total_request_pages * cpp, min_credits) ONCE
+per request (`documents.py:76-78`) — so a request where zero documents
+succeed is still charged min_credits — whereas this module applies the
+per-document max and sums (0 when nothing succeeds), which generalizes
+correctly to batch jobs with millions of documents. Use
+`request_credits()` for the reference's exact request-level formula."""
 
 from __future__ import annotations
 
@@ -22,6 +29,13 @@ def add_credits_column(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG) ->
     ok = pc.equal(batch["status"], "success")
     credits = pc.if_else(ok, credits, pa.scalar(0, pa.int64()))
     return batch.append_column("credits", credits)
+
+
+def request_credits(total_pages: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """The reference's request-level billing formula, verbatim semantics
+    (`documents.py:76-78`): one max over the request's total pages —
+    min_credits is charged even when zero documents succeed."""
+    return max(total_pages * cfg.credits_per_page, cfg.min_credits_per_document)
 
 
 def usage_summary(ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:

@@ -160,7 +160,8 @@ def q_doc_lang_stats(sf_dir: str):
 
 
 LANG_STATS_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 

@@ -53,7 +53,11 @@ image → picture span (text="", media_ref preserved — the span-linking
 Errors-as-data (`docling_client.py:362-380`): unknown span kind, payload
 over `max_doc_bytes`, or page count over `max_pages` → the whole document
 becomes (spans=[], pages=0, status="error", error=<message>); never an
-exception.
+exception. Per-span check ORDER is part of the contract (a span can trip
+several limits at once): unknown-kind first, then byte-budget
+accumulation/check, then kind dispatch (where the page-count check
+lives) — all three implementations (oracle.extract_document,
+stages/extract.extract_core, stages/skew.validate_doc) follow it.
 
 Table formatting (`format_table`): with table extraction enabled, a
 markdown pipe table — "| c1 | c2 |" per row with a "| --- | --- |"

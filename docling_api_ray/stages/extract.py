@@ -66,6 +66,13 @@ class DocumentExtractor:
         total_bytes = 0
         try:
             for kind, text, mref in zip(kinds, texts, media):
+                # contract check order (spec.py): unknown-kind → bytes → dispatch
+                if kind not in INPUT_KINDS:
+                    return [], [], [], 0, ERR_UNKNOWN_KIND.format(kind=repr(kind))
+                if text:
+                    total_bytes += len(text.encode("utf-8", errors="replace"))
+                    if total_bytes > cfg.max_doc_bytes:
+                        return [], [], [], 0, ERR_TOO_LARGE
                 if kind == "pdf_text":
                     for k, t in extract_pdf_text(text or ""):
                         out_k.append(k)
@@ -94,12 +101,8 @@ class DocumentExtractor:
                     pages += 1
                     if pages > cfg.max_pages:
                         return [], [], [], 0, ERR_TOO_MANY_PAGES
-                else:
+                else:  # unreachable: INPUT_KINDS gate above; kept as safety net
                     return [], [], [], 0, ERR_UNKNOWN_KIND.format(kind=repr(kind))
-                if text:
-                    total_bytes += len(text.encode("utf-8", errors="replace"))
-                    if total_bytes > cfg.max_doc_bytes:
-                        return [], [], [], 0, ERR_TOO_LARGE
         except Exception as exc:  # errors-as-data (docling_client.py:362-380)
             return [], [], [], 0, f"{type(exc).__name__}: {exc}"
         return out_k, out_t, out_m, pages, ""

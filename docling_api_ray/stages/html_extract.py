@@ -326,11 +326,18 @@ class FastHtmlExtractor(StreamHtmlExtractor):
     @staticmethod
     def _attrs(tag: str, attrstr: str):
         # only class/id influence extraction (boilerplate hints); parse
-        # attributes lazily and only when the substring prefilter hits
-        if not attrstr or ("class" not in attrstr and "id" not in attrstr):
+        # attributes lazily and only when the substring prefilter hits.
+        # The prefilter must be case-insensitive (HTML attr names are), and
+        # values must be entity-unescaped to match HTMLParser semantics.
+        if not attrstr:
+            return ()
+        low = attrstr.lower()
+        if "class" not in low and "id" not in low:
             return ()
         out = []
         for am in _ATTR_RE.finditer(attrstr):
             val = am.group(2) or am.group(3) or am.group(4) or ""
+            if "&" in val:
+                val = _unescape(val)
             out.append((am.group(1).lower(), val))
         return out

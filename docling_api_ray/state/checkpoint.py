@@ -29,8 +29,11 @@ from ..config import DEFAULT_CONFIG, PipelineConfig
 
 
 def shard_fingerprint(path: str) -> str:
+    # size alone misses same-size edits; mtime_ns catches in-place rewrites
     st = os.stat(path)
-    return hashlib.md5(f"{os.path.basename(path)}:{st.st_size}".encode()).hexdigest()
+    return hashlib.md5(
+        f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()
 
 
 def shard_id(path: str) -> str:
@@ -56,19 +59,24 @@ class Manifest:
         except Exception:
             return False
 
-    def record(self, path: str, output_path: str, rows: int) -> None:
-        sid = shard_id(path)
-        e = {
-            "partition_id": sid,
+    def make_entry(self, path: str, output_path: str, rows: int) -> dict:
+        return {
+            "partition_id": shard_id(path),
             "input_fingerprint": shard_fingerprint(path),
             "output_path": output_path,
             "rows": rows,
             "completed_at_ms": int(time.time() * 1000),
         }
-        tmp = self.entry_path(sid) + ".tmp"
+
+    def record_entry(self, e: dict) -> None:
+        p = self.entry_path(e["partition_id"])
+        tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(e, f)
-        os.replace(tmp, self.entry_path(sid))  # atomic promote
+        os.replace(tmp, p)  # atomic promote
+
+    def record(self, path: str, output_path: str, rows: int) -> None:
+        self.record_entry(self.make_entry(path, output_path, rows))
 
     def entries(self) -> list[dict]:
         out = []
@@ -77,6 +85,71 @@ class Manifest:
                 with open(os.path.join(self.dir, f)) as fh:
                     out.append(json.load(fh))
         return out
+
+
+WAVE_MANIFEST = "_wave_manifest.json"
+
+
+def adopt_promoted_waves(out_dir: str, manifest: Manifest) -> int:
+    """Recover global manifest entries from promoted wave dirs.
+
+    Each wave dir carries its own `_wave_manifest.json` (written into the
+    tmp dir BEFORE the atomic promote rename), so the rename is the single
+    commit point: a crash between promote and the per-shard global
+    manifest writes loses nothing — the entries are rebuilt here on
+    resume. Returns the number of entries adopted."""
+    adopted = 0
+    try:
+        names = sorted(os.listdir(out_dir))
+    except FileNotFoundError:
+        return 0
+    for name in names:
+        if not name.startswith("wave-"):
+            continue
+        wm = os.path.join(out_dir, name, WAVE_MANIFEST)
+        if not os.path.isfile(wm):
+            continue  # pre-manifest wave dir; leave for fingerprint re-run
+        try:
+            with open(wm) as f:
+                entries = json.load(f)
+        except Exception:
+            continue
+        for e in entries:
+            if not os.path.exists(manifest.entry_path(e["partition_id"])):
+                manifest.record_entry(e)
+                adopted += 1
+    return adopted
+
+
+def invalidate_stale_waves(
+    input_paths: list[str], out_dir: str, manifest: Manifest
+) -> int:
+    """If an input shard's fingerprint changed, its old rows still sit in
+    the promoted wave dir (wave output files are not per-shard). Redo the
+    WHOLE containing wave: drop every manifest entry pointing at that wave
+    dir and delete the dir, so resume re-runs it with no duplicate/stale
+    rows. Returns the number of entries invalidated."""
+    import shutil
+
+    by_sid = {shard_id(p): p for p in input_paths}
+    stale_dirs = set()
+    for e in manifest.entries():
+        p = by_sid.get(e["partition_id"])
+        if (
+            p is not None
+            and os.path.exists(p)
+            and e.get("input_fingerprint") != shard_fingerprint(p)
+        ):
+            stale_dirs.add(e["output_path"])
+    n = 0
+    for e in manifest.entries():
+        if e["output_path"] in stale_dirs:
+            os.remove(manifest.entry_path(e["partition_id"]))
+            n += 1
+    for d in stale_dirs:
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    return n
 
 
 def append_metrics(out_dir: str, rows: list[dict]) -> None:
@@ -101,6 +174,8 @@ def run_job(
 
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(out_dir)
+    adopt_promoted_waves(out_dir, manifest)
+    invalidate_stale_waves(input_paths, out_dir, manifest)
     todo = [p for p in sorted(input_paths) if not manifest.completed(p)]
     skipped = len(input_paths) - len(todo)
     waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
@@ -112,15 +187,25 @@ def run_job(
         wave_id = shard_id(wave_paths[0])
         final_dir = os.path.join(out_dir, f"wave-{wave_id}")
         tmp_dir = os.path.join(out_dir, f".tmp-wave-{wave_id}")
-        if os.path.exists(tmp_dir):
-            import shutil
+        import shutil
 
+        if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)  # leftover from a crashed run
         t0 = time.time()
         rows = run_wave(wave_paths, tmp_dir, cfg)
+        # Commit protocol: the wave's own manifest entries travel INSIDE the
+        # dir being renamed, making the rename the single atomic commit
+        # point (see adopt_promoted_waves).
+        entries = [manifest.make_entry(p, final_dir, rows) for p in wave_paths]
+        with open(os.path.join(tmp_dir, WAVE_MANIFEST), "w") as f:
+            json.dump(entries, f)
+        if os.path.exists(final_dir):
+            # stale: same wave id but shards not in the global manifest
+            # (input changed, or a pre-manifest-format dir) — replace it
+            shutil.rmtree(final_dir)
         os.replace(tmp_dir, final_dir)  # atomic promote of the wave output
-        for p in wave_paths:
-            manifest.record(p, final_dir, rows)
+        for e in entries:
+            manifest.record_entry(e)
         append_metrics(
             out_dir,
             [

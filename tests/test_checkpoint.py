@@ -60,6 +60,49 @@ def test_crash_and_resume(ray_session, shards, tmp_path):
     assert read_out(out).equals(got)
 
 
+def test_crash_between_promote_and_record(ray_session, shards, tmp_path):
+    """A wave dir promoted but with zero global manifest entries written
+    (crash in the promote→record window) must be adopted on resume — not
+    re-extracted, not ENOTEMPTY-crashed, no duplicate rows."""
+    out = str(tmp_path / "out")
+    s1 = run_job(shards, out, CFG, wave_size=2, max_waves=1)
+    assert s1["waves_run"] == 1
+    manifest = Manifest(out)
+    entries = manifest.entries()
+    wave_dir = entries[0]["output_path"]
+    # simulate the crash window: promoted dir exists, global entries lost
+    for e in entries:
+        os.remove(manifest.entry_path(e["partition_id"]))
+    mtime_before = os.path.getmtime(wave_dir)
+
+    s2 = run_job(shards, out, CFG, wave_size=2)
+    assert s2["complete"] and s2["shards_skipped"] == 2  # adopted, not redone
+    assert os.path.getmtime(wave_dir) == mtime_before
+    got = read_out(out)
+    assert len(got) == N_DOCS  # no duplicates
+    assert sorted(got["doc_id"]) == [f"doc-{i:08d}" for i in range(N_DOCS)]
+
+
+def test_changed_shard_invalidates_whole_wave(ray_session, shards, tmp_path):
+    """Rewriting an input shard (same size, new mtime) must redo its whole
+    containing wave — old rows removed, no stale/duplicate output."""
+    out = str(tmp_path / "out")
+    run_job(shards, out, CFG, wave_size=2)
+    before = read_out(out)
+    # in-place rewrite of one shard: same bytes, new mtime
+    data = open(shards[0], "rb").read()
+    with open(shards[0], "wb") as f:
+        f.write(data)
+
+    s2 = run_job(shards, out, CFG, wave_size=2)
+    assert s2["waves_run"] == 1  # only the containing wave redone
+    assert s2["shards_skipped"] == len(shards) - 2
+    got = read_out(out)
+    assert len(got) == N_DOCS
+    assert got["doc_id"].is_unique
+    assert sorted(got["doc_id"]) == sorted(before["doc_id"])
+
+
 def test_metrics_written(ray_session, shards, tmp_path):
     out = str(tmp_path / "out2")
     run_job(shards, out, CFG, wave_size=3)

@@ -37,3 +37,14 @@ def test_usage_summary(ray_session):
         "total_documents": 2,
         "total_rows": 3,
     }
+
+
+def test_request_credits_reference_parity():
+    """Reference request-level formula (documents.py:76-78): one max over
+    the request total — min_credits charged even with zero successes."""
+    from docling_api_ray.functions.credits import request_credits
+
+    cfg = PipelineConfig(credits_per_page=2, min_credits_per_document=3)
+    assert request_credits(5, cfg) == 10
+    assert request_credits(1, cfg) == 3
+    assert request_credits(0, cfg) == 3  # zero successes still billed min

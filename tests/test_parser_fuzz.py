@@ -20,7 +20,16 @@ def gen_node(rng: random.Random, depth: int) -> str:
         return rng.choice(TEXTS)
     tag = rng.choice(TAGS)
     cls = rng.choice(CLASSES)
-    attr = f' class="{cls}"' if cls else ""
+    if cls:
+        # HTML attr names are case-insensitive and values may carry entities;
+        # the extractors must agree on all of these forms.
+        name = rng.choice(["class", "CLASS", "Class", "id", "ID"])
+        if rng.random() < 0.25:
+            cls = cls.replace("a", "&#97;") if "a" in cls else cls + "&amp;x"
+        quote = rng.choice(['"', "'"])
+        attr = f" {name}={quote}{cls}{quote}"
+    else:
+        attr = ""
     if tag == "table":
         rows = "".join(
             "<tr>" + "".join(f"<td>{rng.choice(TEXTS)}</td>" for _ in range(rng.randint(1, 3))) + "</tr>"

@@ -147,6 +147,31 @@ def test_document_limits():
     assert row["status"] == "error"
 
 
+def test_limit_check_order_agreement():
+    """A page_break span carrying text that trips BOTH the byte budget and
+    the page limit must yield the same error from all three
+    implementations: bytes are checked before the page count (spec.py
+    contract order)."""
+    from docling_api_ray.spec import ERR_TOO_LARGE
+    from docling_api_ray.stages.extract import DocumentExtractor
+    from docling_api_ray.stages.skew import validate_doc
+
+    cfg = PipelineConfig(max_doc_bytes=10, max_pages=2)
+    spans = [
+        {"kind": "page_break", "text": "x" * 100, "media_ref": "", "offset": i}
+        for i in range(3)
+    ]
+    row = oracle.extract_document("d5", spans, cfg)
+    assert row["error"] == ERR_TOO_LARGE
+    ext = DocumentExtractor(cfg)
+    _, _, _, _, err = ext.extract_core(
+        [s["kind"] for s in spans], [s["text"] for s in spans], [""] * 3
+    )
+    assert err == ERR_TOO_LARGE
+    _, verr = validate_doc(spans, cfg)
+    assert verr == ERR_TOO_LARGE
+
+
 def test_pages_and_picture_linking():
     spans = [
         {"kind": "image", "text": "", "media_ref": "img-d4-0", "offset": 0},
