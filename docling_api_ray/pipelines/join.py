@@ -1,0 +1,147 @@
+"""Scale-safe bucketed equi-join primitives.
+
+The portable large-large join pattern for this engine (Ray 2.49's native
+Dataset.join proved unstable in local mode — see q5_region_revenue): tag
+each side, hash-partition both by the join key into N buckets, union, ONE
+groupby(bucket) shuffle, and resolve the join inside each bucket with
+Arrow kernels. No driver-side key collection — the generalization of the
+reference's DB-indexed lookups (`/root/reference/api/services/
+key_service.py:53-65`) that actually survives a fact-sized build side.
+
+Bucket count scales with input bytes (`adaptive_n_buckets`): each bucket
+group must fit a worker's heap, so a fixed constant is wrong at 1000x
+data. Keys are int64; bucket = key & (N-1). All helpers return streaming
+Datasets — nothing is materialized on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+TARGET_BUCKET_BYTES = 64 << 20  # ~64 MB of input per bucket group
+
+
+def table_bytes(sf_dir: str, *names: str) -> int:
+    """On-disk bytes of the input parquet files (cheap size estimate)."""
+    total = 0
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def adaptive_n_buckets(
+    est_bytes: int, target: int = TARGET_BUCKET_BYTES, lo: int = 16, hi: int = 1 << 16
+) -> int:
+    """Power-of-two bucket count sized so one bucket's share of the input
+    is ~`target` bytes. `lo` keeps small inputs parallel; `hi` caps the
+    group count (Ray pays per-group overhead)."""
+    n = lo
+    while n < hi and est_bytes // n > target:
+        n *= 2
+    return n
+
+
+def bucket_col(key: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """int64 key → int32 bucket in [0, n_buckets). n_buckets power of two."""
+    return pc.cast(
+        pc.bit_wise_and(pc.cast(key, pa.int64()), pa.scalar(n_buckets - 1, pa.int64())),
+        pa.int32(),
+    )
+
+
+def _value_set(col: pa.ChunkedArray) -> pa.Array:
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(col, pa.ChunkedArray):  # combine_chunks may stay chunked
+        return (
+            col.chunk(0) if col.num_chunks == 1 else pa.concat_arrays(col.chunks)
+        ) if col.num_chunks else pa.array([], type=col.type)
+    return col
+
+
+def bucketed_semi_anti(
+    fact_ds: rd.Dataset,
+    fact_key: str,
+    keys_ds: rd.Dataset,
+    keys_key: str,
+    n_buckets: int,
+    anti: bool = False,
+) -> rd.Dataset:
+    """Distributed semi-join (or anti-join with `anti=True`): keep fact
+    rows whose `fact_key` appears (doesn't appear) in `keys_ds[keys_key]`.
+
+    Both sides shuffle once by key-hash bucket; membership resolves inside
+    each bucket with `pc.is_in`. The keys side is deduped per batch before
+    the shuffle (combiner-style) so duplicate fact keys don't inflate it.
+    Output schema == fact schema.
+    """
+    sch = fact_ds.schema()
+    fact_schema = getattr(sch, "base_schema", sch)  # ray Schema → pa.Schema
+    fact_names = list(fact_schema.names)
+
+    def fact_side(t: pa.Table) -> pa.Table:
+        t = t.append_column("__bucket", bucket_col(t[fact_key], n_buckets))
+        return t.append_column("__side", pa.array([0] * len(t), pa.int8()))
+
+    def keys_side(t: pa.Table) -> pa.Table:
+        keys = pc.unique(_value_set(t[keys_key]))  # per-batch combiner
+        cols = {}
+        for f in fact_schema:
+            if f.name == fact_key:
+                cols[f.name] = pc.cast(keys, f.type)
+            else:
+                cols[f.name] = pa.nulls(len(keys), type=f.type)
+        t2 = pa.table(cols)
+        t2 = t2.append_column("__bucket", bucket_col(t2[fact_key], n_buckets))
+        return t2.append_column("__side", pa.array([1] * len(t2), pa.int8()))
+
+    both = fact_ds.map_batches(fact_side, batch_format="pyarrow").union(
+        keys_ds.map_batches(keys_side, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        right = _value_set(g.filter(pc.equal(side, 1))[fact_key])
+        left = g.filter(pc.equal(side, 0))
+        mask = pc.is_in(left[fact_key], value_set=right)
+        if anti:
+            mask = pc.invert(mask)
+        return left.filter(mask).select(fact_names)
+
+    return both.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def bucketed_except_keys(
+    tagged_keys_ds: rd.Dataset, key: str, n_buckets: int
+) -> rd.Dataset:
+    """Distributed EXCEPT over a pre-tagged key stream: rows have columns
+    (`key`, `__side` int8) where side 0 = the keep-set and side 1 = the
+    subtract-set. Returns distinct side-0 keys absent from side 1, as a
+    one-column Dataset. One shuffle."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__bucket", bucket_col(t[key], n_buckets))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        keep = pc.unique(_value_set(g.filter(pc.equal(side, 0))[key]))
+        sub = _value_set(g.filter(pc.equal(side, 1))[key])
+        mask = pc.invert(pc.is_in(keep, value_set=sub))
+        return pa.table({key: keep.filter(mask)})
+
+    return (
+        tagged_keys_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -30,6 +30,13 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from .join import (
+    adaptive_n_buckets,
+    bucket_col,
+    bucketed_except_keys,
+    bucketed_semi_anti,
+    table_bytes,
+)
 from .util import agg_to_table, broadcast, read, read_small, round_col
 
 CUT = datetime(1998, 1, 1)
@@ -127,8 +134,12 @@ WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
 
 
 # ---------------------------------------------------------------------------
-# Q3-style: broadcast semi-join (customer segment) + grouped agg + top-k
+# Q3-style: broadcast dim filter + DISTRIBUTED semi-join + grouped agg + top-k
 def q3_top_orders(sf_dir: str):
+    # customer is a true dimension → broadcast key set is the right call;
+    # the order-key side is FACT-sized, so lineitem⋈orders rides the
+    # bucketed semi-join (no driver key collection — at 100x the filtered
+    # order-key set is tens of millions of keys).
     cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     building = set(
         cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
@@ -141,31 +152,35 @@ def q3_top_orders(sf_dir: str):
         keys = ray.get(cust_ref)
         t = t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT)))
         mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
-        return t.filter(mask)
+        return t.filter(mask).select(["o_orderkey"])
 
     okeys_tbl = orders.map_batches(filt_orders, batch_format="pyarrow")
-    # small side after filtering → broadcast orderkey set to the lineitem scan
-    okeys = set()
-    for b in okeys_tbl.iter_batches(batch_format="pyarrow"):
-        okeys.update(b["o_orderkey"].to_pylist())
-    okeys_ref = broadcast(okeys)
 
     li = read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
 
     def filt_li(t: pa.Table) -> pa.Table:
-        keys = ray.get(okeys_ref)
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(CUT)))
-        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(list(keys), type=pa.int64()))
-        t = t.filter(mask)
-        return t.append_column(
-            "rev", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
         )
 
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+    joined = bucketed_semi_anti(
+        li.map_batches(filt_li, batch_format="pyarrow"),
+        "l_orderkey",
+        okeys_tbl,
+        "o_orderkey",
+        nb,
+    )
     out = (
-        li.map_batches(filt_li, batch_format="pyarrow")
-        .groupby("l_orderkey")
+        joined.groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
@@ -241,21 +256,20 @@ def q5_region_revenue(sf_dir: str):
     # native Dataset.join was evaluated here and found unstable in local
     # mode — unbounded worker churn and 10x wall-time outliers — so the
     # engine uses the portable bucketed pattern for large-large joins.)
-    N_BUCKETS = 64
+    # Bucket count scales with input bytes; side tag is int8, not a
+    # per-row string.
+    N_BUCKETS = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
 
     def li_side(t: pa.Table) -> pa.Table:
         t = filt_li(t)
         key = t["l_orderkey"]
         return pa.table(
             {
-                "bucket": pc.cast(
-                    pc.bit_wise_and(key, pa.scalar(N_BUCKETS - 1, pa.int64())),
-                    pa.int32(),
-                ),
+                "bucket": bucket_col(key, N_BUCKETS),
                 "key": key,
-                "side": pa.array(["l"] * len(t), pa.string()),
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
                 "suppkey": t["l_suppkey"],
-                "custkey": pa.array([0] * len(t), pa.int64()),
+                "custkey": pa.nulls(len(t), type=pa.int64()),
                 "rev": t["rev"],
             }
         )
@@ -265,15 +279,12 @@ def q5_region_revenue(sf_dir: str):
         key = t["o_orderkey"]
         return pa.table(
             {
-                "bucket": pc.cast(
-                    pc.bit_wise_and(key, pa.scalar(N_BUCKETS - 1, pa.int64())),
-                    pa.int32(),
-                ),
+                "bucket": bucket_col(key, N_BUCKETS),
                 "key": key,
-                "side": pa.array(["o"] * len(t), pa.string()),
-                "suppkey": pa.array([0] * len(t), pa.int64()),
+                "side": pa.array(np.ones(len(t), dtype=np.int8)),
+                "suppkey": pa.nulls(len(t), type=pa.int64()),
                 "custkey": t["o_custkey"],
-                "rev": pa.array([0.0] * len(t), pa.float64()),
+                "rev": pa.nulls(len(t), type=pa.float64()),
             }
         )
 
@@ -283,19 +294,19 @@ def q5_region_revenue(sf_dir: str):
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         sn, cn, names = ray.get(dims)
-        left = g[g["side"] == "l"]
-        right = g[g["side"] == "o"]
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
         if left.empty or right.empty:
             return pd.DataFrame({"n_name": pd.Series(dtype=object), "rev": pd.Series(dtype="float64")})
         m = left.merge(right[["key", "custkey"]], on="key", suffixes=("", "_o"))
-        s_nat = m["suppkey"].map(sn)
-        c_nat = m["custkey_o"].map(cn)
-        m = m[s_nat == c_nat]  # Q5 constraint: supplier + customer same nation
+        # null-padded union columns arrive as float64 in pandas; restore ints
+        s_nat = m["suppkey"].astype("int64").map(sn)
+        c_nat = m["custkey_o"].astype("int64").map(cn)
+        same = s_nat == c_nat  # Q5 constraint: supplier + customer same nation
+        m = m[same]
         if m.empty:
             return pd.DataFrame({"n_name": pd.Series(dtype=object), "rev": pd.Series(dtype="float64")})
-        return pd.DataFrame(
-            {"n_name": m["suppkey"].map(sn).map(names), "rev": m["rev"]}
-        )
+        return pd.DataFrame({"n_name": s_nat[same].map(names), "rev": m["rev"]})
 
     out = (
         both.groupby("bucket")
@@ -442,31 +453,23 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
-# Semi-join / anti-join via broadcast key set
-def _cust_with_orders(sf_dir: str, priority: str | None = None) -> set:
+# Semi-join / anti-join — distributed bucketed shuffle (the orders side is
+# fact-sized; a driver-collected key set would be unbounded at 100x)
+def _order_custkeys(sf_dir: str, priority: str | None = None):
     ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     if priority is not None:
         ds = ds.map_batches(
             lambda t, p=priority: t.filter(pc.equal(t["o_orderpriority"], p)),
             batch_format="pyarrow",
         )
-    keys = set()
-    for b in ds.iter_batches(batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    return keys
+    return ds.select_columns(["o_custkey"])
 
 
 def q_semi_join_customers(sf_dir: str):
-    ref = broadcast(_cust_with_orders(sf_dir))
-    ds = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-
-    def filt(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pc.is_in(t["c_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
-        return t.filter(mask)
-
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
     return (
-        ds.map_batches(filt, batch_format="pyarrow")
+        bucketed_semi_anti(cust, "c_custkey", _order_custkeys(sf_dir), "o_custkey", nb)
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_active"))
     )
@@ -482,18 +485,17 @@ GROUP BY c_mktsegment
 def q_anti_join_customers(sf_dir: str):
     # anti-join vs URGENT orders only (vs all orders the complement is
     # empty at every sf — degenerate)
-    ref = broadcast(_cust_with_orders(sf_dir, priority="1-URGENT"))
-    ds = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-
-    def filt(t: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pc.invert(
-            pc.is_in(t["c_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
-        )
-        return t.filter(mask)
-
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
     return (
-        ds.map_batches(filt, batch_format="pyarrow")
+        bucketed_semi_anti(
+            cust,
+            "c_custkey",
+            _order_custkeys(sf_dir, priority="1-URGENT"),
+            "o_custkey",
+            nb,
+            anti=True,
+        )
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_inactive"))
     )
@@ -674,18 +676,27 @@ ORACLE = {
 # Set operations: union / intersect / except over keyed row sets
 def q_set_ops_customers(sf_dir: str):
     """Customers that placed an URGENT order but never a LOW one —
-    EXCEPT over broadcast key sets (set ops as semi/anti filters)."""
-    urgent = _cust_with_orders(sf_dir, priority="1-URGENT")
-    low = _cust_with_orders(sf_dir, priority="5-LOW")
-    keep = broadcast(urgent - low)
-    ds = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    distributed EXCEPT: one pass over orders tags URGENT keys side 0 and
+    LOW keys side 1, one bucketed shuffle subtracts them, a second
+    bucketed semi-join filters customers. No driver key sets."""
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
-    def filt(t: pa.Table) -> pa.Table:
-        keys = ray.get(keep)
-        mask = pc.is_in(t["c_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
-        return t.filter(mask)
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        l = t.filter(pc.equal(t["o_orderpriority"], "5-LOW"))["o_custkey"]
+        return pa.table(
+            {
+                "key": pa.concat_arrays(u.chunks + l.chunks),
+                "__side": pa.array([0] * len(u) + [1] * len(l), pa.int8()),
+            }
+        )
 
-    return ds.map_batches(filt, batch_format="pyarrow")
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+    keep_keys = bucketed_except_keys(
+        orders.map_batches(tag, batch_format="pyarrow"), "key", nb
+    )
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return bucketed_semi_anti(cust, "c_custkey", keep_keys, "key", nb)
 
 
 SET_OPS_SQL = """

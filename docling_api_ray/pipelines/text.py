@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min, Sum
 
+from .join import adaptive_n_buckets, bucket_col, table_bytes
 from .util import read, round_col
 
 STOPWORDS = ("the", "a", "and", "of", "to")
@@ -218,6 +219,11 @@ MINHASH_K = 128
 LSH_BANDS = 32  # rows per band = 4
 NEAR_DUP_THRESHOLD = 0.30
 MAX_BUCKET = 64  # skip degenerate LSH buckets (quadratic pair blowup guard)
+# Coarse shuffle buckets. Floors keep every core busy at bench scale; the
+# adaptive term (see _lsh_buckets) grows them with corpus bytes so one
+# bucket group always fits a worker's heap at 100 TB.
+N_LSH_BUCKETS_MIN = 64
+N_PAIR_BUCKETS = 64
 
 
 _HASH_CACHE: dict[str, int] = {}
@@ -243,11 +249,35 @@ def _shingles(text: str, n: int = 2) -> np.ndarray:
     return np.array(sorted({_stable_hash64(g) for g in grams}), dtype=np.uint64)
 
 
-class MinHasher:
-    """Actor-pool stage: seeded permutations built once per actor; emits
-    (band_id, band_hash, doc_id) rows for the LSH groupby."""
+def shingle_rows(t: pa.Table) -> pa.Table:
+    """One pass of shingle hashing: (doc_id, sh list<uint64>). The ONLY
+    place shingles are computed — both the LSH banding and the Jaccard
+    verification derive from this table."""
+    sh = [_shingles(x).tolist() for x in t["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "sh": pa.array(sh, pa.list_(pa.uint64())),
+        }
+    )
 
-    def __init__(self, seed: int = 1234):
+
+def _list_column(t: pa.Table, name: str) -> pa.ListArray:
+    la = t[name].combine_chunks() if isinstance(t[name], pa.ChunkedArray) else t[name]
+    if isinstance(la, pa.ChunkedArray):
+        la = la.chunk(0) if la.num_chunks else pa.array([], type=t.schema.field(name).type)
+    return la
+
+
+class MinHasher:
+    """Actor-pool stage over the shingle table: seeded permutations built
+    once per actor; emits (bucket, band_id, band_hash, doc_id) rows for
+    the LSH groupby. Fully vectorized: one (k, total_shingles)
+    permuted-hash matrix per batch, segmented per-doc min via
+    np.minimum.reduceat."""
+
+    def __init__(self, seed: int = 1234, n_buckets: int = N_LSH_BUCKETS_MIN):
+        self.n_buckets = n_buckets
         rng = np.random.RandomState(seed)
         # odd multipliers; arithmetic is uint64 with natural 2^64 wraparound
         # (deterministic everywhere numpy runs)
@@ -256,6 +286,14 @@ class MinHasher:
             + np.uint64(1)
         )
         self.b = rng.randint(0, 1 << 62, size=MINHASH_K, dtype=np.uint64)
+        # per-position odd multipliers for the vectorized band hash
+        # (multiply-XOR mix of the band's minhash components — equivalent
+        # LSH collision behavior to a cryptographic hash, fully numpy)
+        r = MINHASH_K // LSH_BANDS
+        self.band_mult = (
+            rng.randint(1, 1 << 62, size=r, dtype=np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )
 
     def signature(self, text: str) -> np.ndarray | None:
         x = _shingles(text)
@@ -266,45 +304,47 @@ class MinHasher:
         return np.min(vals, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # batch-vectorized: one (k, total_shingles) permuted-hash matrix for
-        # the WHOLE batch, segmented per-doc min via np.minimum.reduceat
-        doc_ids_in = batch["doc_id"].to_pylist()
-        shingle_arrays = [_shingles(t) for t in batch["text"].to_pylist()]
-        keep = [i for i, s in enumerate(shingle_arrays) if len(s)]
-        if not keep:
+        la = _list_column(batch, "sh")
+        offs = la.offsets.to_numpy()
+        lens = np.diff(offs)
+        keep = np.nonzero(lens > 0)[0]
+        if len(keep) == 0:
             return pa.table(
                 {
+                    "bucket": pa.array([], pa.int32()),
                     "band_id": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.string()),
+                    "band_hash": pa.array([], pa.int64()),
                     "doc_id": pa.array([], pa.int64()),
                 }
             )
-        flat = np.concatenate([shingle_arrays[i] for i in keep])
-        seg_starts = np.cumsum([0] + [len(shingle_arrays[i]) for i in keep[:-1]])
+        doc_ids_in = batch["doc_id"].to_numpy(zero_copy_only=False)
+        flat = la.values.to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        seg_starts = offs[keep]
         with np.errstate(over="ignore"):
             vals = self.a[:, None] * flat[None, :] + self.b[:, None]  # (k, total)
         sigs = np.minimum.reduceat(vals, seg_starts, axis=1)  # (k, ndocs)
         r = MINHASH_K // LSH_BANDS
-        band_ids, band_hashes, doc_ids = [], [], []
-        for col, i in enumerate(keep):
-            sig = np.ascontiguousarray(sigs[:, col])
-            for band in range(LSH_BANDS):
-                chunk = sig[band * r : (band + 1) * r]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                band_ids.append(band)
-                band_hashes.append(h)
-                doc_ids.append(doc_ids_in[i])
+        ndocs = len(keep)
+        with np.errstate(over="ignore"):
+            mixed = sigs.reshape(LSH_BANDS, r, ndocs) * self.band_mult[None, :, None]
+        bh = (np.bitwise_xor.reduce(mixed, axis=1) >> np.uint64(1)).astype(
+            np.int64
+        )  # (bands, ndocs); 63-bit → signed-safe
+        band_ids = np.repeat(np.arange(LSH_BANDS, dtype=np.int32), ndocs)
+        docs = np.tile(doc_ids_in[keep].astype(np.int64), LSH_BANDS)
+        flat_bh = bh.reshape(-1)
         # coarse bucket for the shuffle: grouping by the full (band_id,
         # band_hash) key would create ~rows×bands tiny groups and pay Ray's
-        # per-group overhead; 256 buckets + an in-batch pandas sub-group is
-        # equivalent and ~10x faster
-        buckets = [int(h[:2], 16) for h in band_hashes]
+        # per-group overhead; n_buckets buckets + an in-group pandas
+        # sub-group is equivalent and ~10x faster
         return pa.table(
             {
-                "bucket": pa.array(buckets, type=pa.int32()),
+                "bucket": pa.array(
+                    (flat_bh & (self.n_buckets - 1)).astype(np.int32), type=pa.int32()
+                ),
                 "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.string()),
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "band_hash": pa.array(flat_bh, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
             }
         )
 
@@ -321,75 +361,169 @@ def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(sorted(set(pairs)), columns=["doc_a", "doc_b"])
 
 
-class JaccardVerifier:
-    """Verify candidate pairs with exact n-gram Jaccard. The doc→shingle
-    lookup is broadcast once (ray.put) — at cluster scale this becomes a
-    hash-partitioned join back to the corpus; broadcast is the right call
-    while the shingle index fits the object store."""
+def _pair_bucket(a: int, b: int, npb: int = N_PAIR_BUCKETS) -> int:
+    return ((a * 1_000_003) ^ b) & (npb - 1)
 
-    def __init__(self, shingle_ref):
-        import ray
 
-        self.shingles = ray.get(shingle_ref)
+_ENDPOINT_SCHEMA = pa.schema(
+    [
+        ("pbucket", pa.int32()),
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("which", pa.int8()),
+        ("sh", pa.list_(pa.uint64())),
+    ]
+)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa, sb = self.shingles.get(a), self.shingles.get(b)
-            if sa is None or sb is None:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            if j >= NEAR_DUP_THRESHOLD:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(round(j, 4))
-        return pa.table(
-            {
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
-                "jaccard": pa.array(out_j, type=pa.float64()),
-            }
-        )
+
+def _attach_shingles(g: pa.Table) -> pa.Table:
+    """Doc-bucket join stage: attach each candidate-pair endpoint's shingle
+    array from the co-partitioned shingle rows. Also dedupes endpoints, so
+    cross-bucket duplicate candidates (a pair matching in several LSH
+    bands) collapse here instead of in a per-pair global groupby."""
+    side = g["__side"]
+    shp = g.filter(pc.equal(side, 1))
+    prs = g.filter(pc.equal(side, 0))
+    if len(prs) == 0:
+        return _ENDPOINT_SCHEMA.empty_table()
+    la = _list_column(shp, "sh")
+    offs = la.offsets.to_numpy()
+    flat = la.values.to_numpy(zero_copy_only=False)
+    ids = shp["key"].to_numpy(zero_copy_only=False)
+    lookup = {int(d): (offs[i], offs[i + 1]) for i, d in enumerate(ids)}
+    seen = set()
+    pb, das, dbs, whs, shs = [], [], [], [], []
+    for a, b, w in zip(
+        prs["doc_a"].to_pylist(), prs["doc_b"].to_pylist(), prs["which"].to_pylist()
+    ):
+        if (a, b, w) in seen:
+            continue
+        seen.add((a, b, w))
+        key = a if w == 0 else b
+        span = lookup.get(key)
+        if span is None:
+            continue
+        pb.append(_pair_bucket(a, b))
+        das.append(a)
+        dbs.append(b)
+        whs.append(w)
+        shs.append(flat[span[0] : span[1]].tolist())
+    return pa.table(
+        {
+            "pbucket": pa.array(pb, pa.int32()),
+            "doc_a": pa.array(das, pa.int64()),
+            "doc_b": pa.array(dbs, pa.int64()),
+            "which": pa.array(whs, pa.int8()),
+            "sh": pa.array(shs, pa.list_(pa.uint64())),
+        }
+    )
+
+
+def _verify_pairs(g: pa.Table) -> pa.Table:
+    """Pair-bucket stage: both endpoints of a pair are co-located here;
+    compute exact n-gram Jaccard and keep pairs over the threshold."""
+    la = _list_column(g, "sh")
+    offs = la.offsets.to_numpy()
+    flat = la.values.to_numpy(zero_copy_only=False)
+    halves: dict[tuple[int, int], list] = {}
+    for i, (a, b, w) in enumerate(
+        zip(g["doc_a"].to_pylist(), g["doc_b"].to_pylist(), g["which"].to_pylist())
+    ):
+        halves.setdefault((a, b), [None, None])[w] = flat[offs[i] : offs[i + 1]]
+    out_a, out_b, out_j = [], [], []
+    for (a, b), (sa, sb) in sorted(halves.items()):
+        if sa is None or sb is None:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j >= NEAR_DUP_THRESHOLD:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(j, 4))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )
 
 
 def q_doc_minhash_pairs(sf_dir: str):
-    import ray
+    """MinHash+LSH near-dedup, fully distributed:
 
+    read → shingle (ONCE, materialized in the object store — the table is
+    consumed by both the banding stage and the verification join; Ray
+    re-executes lazy branches per consumer, and recomputing shingles is
+    the more expensive path) → band rows → bucketed LSH groupby →
+    candidate pairs (deduped in-bucket) → endpoint-explode → ONE
+    co-partitioned shuffle with the shingle table to attach shingles (and
+    collapse cross-bucket duplicate candidates) → tiny pair-bucket shuffle
+    → exact Jaccard verify. No driver-side corpus structure at any step;
+    every shuffle key is bucketed, never per-pair."""
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 4))
-    cands = (
-        bands.groupby("bucket")
-        .map_groups(_candidate_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")  # dedup pairs
+    doc_bytes = table_bytes(sf_dir, "documents")
+    nb_lsh = max(N_LSH_BUCKETS_MIN, adaptive_n_buckets(doc_bytes))
+    sh_ds = ds.map_batches(
+        shingle_rows, batch_format="pyarrow", batch_size=128
+    ).materialize()
+    bands = sh_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"n_buckets": nb_lsh},
+        batch_format="pyarrow",
+        batch_size=256,  # (k × batch_shingles) hash matrix stays ~100 MB
+        concurrency=(1, 16),
     )
-    # build the shingle index in PARALLEL (hashing distributed; the driver
-    # only collects the already-hashed arrays)
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        sh = [_shingles(x).tolist() for x in t["text"].to_pylist()]
+    cands = bands.groupby("bucket").map_groups(
+        _candidate_pairs, batch_format="pandas"
+    )
+
+    n_doc_buckets = max(16, adaptive_n_buckets(doc_bytes))
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, b])
         return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "sh": pa.array(sh, pa.list_(pa.uint64()))}
+            {
+                "__bucket": pa.array(
+                    (key & (n_doc_buckets - 1)).astype(np.int32), pa.int32()
+                ),
+                "key": pa.array(key, pa.int64()),
+                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "which": pa.array(
+                    np.repeat(np.array([0, 1], dtype=np.int8), len(a))
+                ),
+                "sh": pa.nulls(2 * len(a), type=pa.list_(pa.uint64())),
+                "__side": pa.array(np.zeros(2 * len(a), dtype=np.int8)),
+            }
         )
 
-    shingles = {}
-    for b in ds.map_batches(shingle_rows, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        la = b["sh"].combine_chunks() if isinstance(b["sh"], pa.ChunkedArray) else b["sh"]
-        offs = la.offsets.to_numpy()
-        flat = la.values.to_numpy(zero_copy_only=False)
-        for i, doc_id in enumerate(b["doc_id"].to_pylist()):
-            shingles[doc_id] = flat[offs[i] : offs[i + 1]]
-    ref = ray.put(shingles)
-    return cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    def sh_side(t: pa.Table) -> pa.Table:
+        key = t["doc_id"]
+        n = len(t)
+        return pa.table(
+            {
+                "__bucket": bucket_col(key, n_doc_buckets),
+                "key": key,
+                "doc_a": pa.nulls(n, type=pa.int64()),
+                "doc_b": pa.nulls(n, type=pa.int64()),
+                "which": pa.nulls(n, type=pa.int8()),
+                "sh": t["sh"],
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    both = cands.map_batches(endpoints, batch_format="pyarrow").union(
+        sh_ds.map_batches(sh_side, batch_format="pyarrow")
+    )
+    attached = both.groupby("__bucket").map_groups(
+        _attach_shingles, batch_format="pyarrow"
+    )
+    return attached.groupby("pbucket").map_groups(
+        _verify_pairs, batch_format="pyarrow"
     )
 
 
@@ -400,24 +534,44 @@ def q_doc_minhash_pairs(sf_dir: str):
 class SimHasher:
     def __init__(self):
         self.word = re.compile(r"\w+")
+        self._shift = np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
+        """Scalar reference path (tests); the batch path is equivalent:
+        bit i is set iff more than half the token hashes have bit i."""
         toks = self.word.findall(text.lower())
         if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = _stable_hash64(t)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+        hs = np.array([_stable_hash64(t) for t in toks], dtype=np.uint64)
+        bits = (hs[:, None] >> self._shift[None, :]) & np.uint64(1)
+        majority = 2 * bits.sum(axis=0, dtype=np.int64) > len(toks)
+        return int((majority.astype(np.uint64) << self._shift).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [format(self.simhash(t), "016x") for t in batch["text"].to_pylist()]
+        # batch-vectorized: one (total_tokens, 64) bit matrix, per-doc
+        # column sums via np.add.reduceat (same shape as the MinHash stage)
+        texts = batch["text"].to_pylist()
+        tok_hashes = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = self.word.findall(t.lower())
+            lens[i] = len(toks)
+            if toks:
+                tok_hashes.append(
+                    np.array([_stable_hash64(x) for x in toks], dtype=np.uint64)
+                )
+        out = np.zeros(len(texts), dtype=np.uint64)
+        keep = np.nonzero(lens > 0)[0]
+        if len(keep):
+            flat = np.concatenate(tok_hashes)
+            bits = (flat[:, None] >> self._shift[None, :]) & np.uint64(1)
+            starts = np.concatenate(([0], np.cumsum(lens[keep])[:-1]))
+            colsums = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            majority = 2 * colsums > lens[keep, None]
+            out[keep] = (majority.astype(np.uint64) << self._shift[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        hs = [format(int(v), "016x") for v in out]
         return pa.table(
             {"doc_id": batch["doc_id"], "simhash": pa.array(hs, type=pa.string())}
         )
@@ -425,7 +579,9 @@ class SimHasher:
 
 def q_doc_simhash(sf_dir: str):
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(
+        SimHasher, batch_format="pyarrow", batch_size=256, concurrency=(1, 16)
+    )
 
 
 SIMHASH_MAX_HAMMING = 6
@@ -472,12 +628,28 @@ def q_doc_simhash_pairs(sf_dir: str):
             {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
         )
 
-    return (
+    cand = (
         sims.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    # cross-bucket duplicates (a pair matching in several bit-bands) are
+    # deduped in N_PAIR_BUCKETS hash buckets — never one Ray group per pair
+    def add_pbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pbucket"] = (
+            (df["doc_a"] * 1_000_003) ^ df["doc_b"]
+        ) & (N_PAIR_BUCKETS - 1)
+        return df
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pbucket"])
+
+    return (
+        cand.map_batches(add_pbucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(dedup, batch_format="pandas")
     )
 
 
