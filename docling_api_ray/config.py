@@ -49,5 +49,13 @@ class PipelineConfig:
     credits_per_page: int = 1
     min_credits_per_document: int = 1
 
+    # Per-document wall-clock bound (reference: 300 s GPU / 600 s CPU,
+    # `api/config.py:52-55`, `docker-compose.cpu.yml:33-35`). Cooperative
+    # deadline checked per span and every few hundred parser tokens; a doc
+    # over budget becomes (status="timeout", error=ERR_TIMEOUT) — one
+    # pathological payload can no longer stall its whole block. None
+    # disables the guard.
+    doc_timeout_s: float | None = 300.0
+
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -25,6 +25,53 @@ def parse_ocr_languages(raw: str) -> tuple[str, ...]:
     return tuple(v for v in vals.to_pylist() if v)
 
 
+def admit_job(
+    input_paths: list[str],
+    cfg,
+    credit_balance: int | None = None,
+    max_shard_bytes: int = 10 << 30,
+) -> tuple[bool, str, dict]:
+    """Admission precheck (M12): refuse work BEFORE running it, the batch
+    analog of the reference's credit precheck + upload caps
+    (`api/routes/documents.py:81-104`, `api/auth.py:75-79`,
+    `api/config.py:56-59`). Cheap: parquet FOOTER metadata only — no data
+    is read. Returns (admitted, reason, estimate).
+
+    The credit estimate is a LOWER bound (min_credits_per_document per
+    row; true pages unknown before extraction), mirroring the reference's
+    estimate-then-refuse shape."""
+    import pyarrow.parquet as pq
+
+    if not input_paths:
+        return False, "no input shards", {}
+    n_docs = 0
+    total_bytes = 0
+    for p in input_paths:
+        if not os.path.exists(p):
+            return False, f"missing input shard: {p}", {}
+        size = os.path.getsize(p)
+        if size > max_shard_bytes:
+            return False, f"shard over max_shard_bytes: {p} ({size} bytes)", {}
+        total_bytes += size
+        try:
+            n_docs += pq.ParquetFile(p).metadata.num_rows
+        except Exception as exc:
+            return False, f"unreadable parquet shard {p}: {exc}", {}
+    est_credits = n_docs * cfg.min_credits_per_document
+    est = {
+        "n_docs": n_docs,
+        "input_bytes": total_bytes,
+        "estimated_min_credits": est_credits,
+    }
+    if credit_balance is not None and est_credits > credit_balance:
+        return (
+            False,
+            f"insufficient credits: need >= {est_credits}, have {credit_balance}",
+            est,
+        )
+    return True, "", est
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="Ray-Data document extraction job")
     ap.add_argument("--input", required=True, help="corpus dir of parquet shards")
@@ -37,7 +84,24 @@ def main() -> None:
     ap.add_argument("--ocr", action="store_true", help="emit OCR-text spans after pictures")
     ap.add_argument("--ocr-languages", default="eng", help="comma-separated (reference documents.py:185-187)")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--credit-balance",
+        type=int,
+        default=None,
+        help="refuse launch if the estimated credits exceed this balance",
+    )
+    ap.add_argument(
+        "--status",
+        action="store_true",
+        help="print job progress for --output and exit (no Ray session)",
+    )
     args = ap.parse_args()
+
+    if args.status:
+        from .state.checkpoint import job_status
+
+        print(json.dumps(job_status(args.output)))
+        return
 
     import ray
 
@@ -70,6 +134,11 @@ def main() -> None:
         ocr_languages=parse_ocr_languages(args.ocr_languages),
         extractor_concurrency=(2, max(2, args.num_cpus - 2)),
     )
+    admitted, reason, est = admit_job(paths, cfg, credit_balance=args.credit_balance)
+    if not admitted:
+        print(json.dumps({"refused": True, "reason": reason, **est}))
+        ray.shutdown()
+        raise SystemExit(2)
     summary = run_job(paths, args.output, cfg, wave_size=args.wave_size)
     print(json.dumps(summary))
     ray.shutdown()

@@ -20,6 +20,7 @@ from .spec import (
     BLOCKISH_TAGS,
     BOILER_CLASS_TOKENS,
     CONTAINER_TAGS,
+    ERR_TIMEOUT,
     ERR_TOO_LARGE,
     ERR_TOO_MANY_PAGES,
     ERR_UNKNOWN_KIND,
@@ -31,6 +32,7 @@ from .spec import (
     extract_pdf_table,
     extract_pdf_text,
     format_table,
+    status_of,
 )
 from .schema import INPUT_KINDS
 
@@ -199,12 +201,17 @@ def extract_document(
     doc_id: str, spans: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> dict:
     """One input row → one RESULT_SCHEMA row (plain dict)."""
+    from time import monotonic as _mono
+
     ordered = sorted(enumerate(spans), key=lambda t: (t[1]["offset"], t[0]))
     total_bytes = 0
     pages = 1
     out: list[dict] = []
+    deadline = _mono() + cfg.doc_timeout_s if cfg.doc_timeout_s is not None else None
     try:
         for _, sp in ordered:
+            if deadline is not None and _mono() > deadline:
+                return _error_row(doc_id, ERR_TIMEOUT)
             kind = sp["kind"]
             if kind not in INPUT_KINDS:
                 return _error_row(doc_id, ERR_UNKNOWN_KIND.format(kind=repr(kind)))
@@ -247,7 +254,13 @@ def _span(kind: str, text: str, media_ref: str, offset: int) -> dict:
 
 
 def _error_row(doc_id: str, error: str) -> dict:
-    return {"doc_id": doc_id, "spans": [], "pages": 0, "status": "error", "error": error}
+    return {
+        "doc_id": doc_id,
+        "spans": [],
+        "pages": 0,
+        "status": status_of(error),
+        "error": error,
+    }
 
 
 def extract_corpus(rows: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG) -> list[dict]:

@@ -53,7 +53,10 @@ image → picture span (text="", media_ref preserved — the span-linking
 Errors-as-data (`docling_client.py:362-380`): unknown span kind, payload
 over `max_doc_bytes`, or page count over `max_pages` → the whole document
 becomes (spans=[], pages=0, status="error", error=<message>); never an
-exception. Per-span check ORDER is part of the contract (a span can trip
+exception. A document over the cooperative wall-clock budget
+(`doc_timeout_s`, checked per span and every few hundred parser tokens)
+becomes (spans=[], pages=0, status="timeout", error=ERR_TIMEOUT) — the
+only status besides success/error. Per-span check ORDER is part of the contract (a span can trip
 several limits at once): unknown-kind first, then byte-budget
 accumulation/check, then kind dispatch (where the page-count check
 lives) — all three implementations (oracle.extract_document,
@@ -127,6 +130,19 @@ LINK_DENSITY_MAX = 0.5
 ERR_UNKNOWN_KIND = "unknown span kind: {kind}"
 ERR_TOO_LARGE = "document exceeds max_doc_bytes"
 ERR_TOO_MANY_PAGES = "document exceeds max_pages"
+ERR_TIMEOUT = "document exceeded doc_timeout_s"
+
+
+class DocTimeout(Exception):
+    """Raised by the cooperative per-document deadline (config
+    doc_timeout_s); converted to an errors-as-data row upstream."""
+
+
+def status_of(err: str) -> str:
+    """RESULT status derivation: success | timeout | error."""
+    if not err:
+        return "success"
+    return "timeout" if err == ERR_TIMEOUT else "error"
 
 
 def collapse(s: str) -> str:

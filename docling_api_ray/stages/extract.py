@@ -23,13 +23,40 @@ import pyarrow as pa
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..schema import INPUT_KINDS, RESULT_SCHEMA, SPAN
 from ..spec import (
+    ERR_TIMEOUT,
     ERR_TOO_LARGE,
     ERR_TOO_MANY_PAGES,
     ERR_UNKNOWN_KIND,
+    DocTimeout,
     extract_pdf_table,
     extract_pdf_text,
+    status_of,
 )
 from .html_extract import FastHtmlExtractor
+
+
+# ---------------------------------------------------------------------------
+# Format-extractor registry (§2.10): the engine analog of the reference's
+# `format_options={InputFormat.PDF: PdfFormatOption(...)}`
+# (`/root/reference/deployments/modal/modal_docling.py:117-123,145-152`).
+# A new span kind registers a handler here and flows through dispatch,
+# admission and serialization without touching the core. Built-in kinds
+# (schema.INPUT_KINDS) keep their inlined fast path — the registry is
+# consulted only for non-builtin kinds, so the hot loop is unchanged.
+# Registered formats are engine-surface extensions; the pure-Python oracle
+# covers the built-in contract only.
+
+_FORMAT_HANDLERS: dict = {}
+
+
+def register_format(kind: str, handler) -> None:
+    """Register `handler(extractor, text, media_ref) ->
+    iterable[(kind, text, media_ref)]` for a custom span kind."""
+    _FORMAT_HANDLERS[kind] = handler
+
+
+def unregister_format(kind: str) -> None:
+    _FORMAT_HANDLERS.pop(kind, None)
 
 
 def result_schema(output_format: str | None) -> pa.Schema:
@@ -58,16 +85,29 @@ class DocumentExtractor:
 
     def extract_core(self, kinds, texts, media):
         """→ (out_kinds, out_texts, out_media, pages, error)."""
+        import time as _time
+
         cfg = self.cfg
         out_k: list[str] = []
         out_t: list[str] = []
         out_m: list[str] = []
         pages = 1
         total_bytes = 0
+        # cooperative per-document deadline (spec.py / reference
+        # api/config.py:52-55): checked per span here and every few
+        # hundred tags inside the HTML tokenizer
+        deadline = (
+            _time.monotonic() + cfg.doc_timeout_s
+            if cfg.doc_timeout_s is not None
+            else None
+        )
+        self.html.deadline = deadline
         try:
             for kind, text, mref in zip(kinds, texts, media):
+                if deadline is not None and _time.monotonic() > deadline:
+                    return [], [], [], 0, ERR_TIMEOUT
                 # contract check order (spec.py): unknown-kind → bytes → dispatch
-                if kind not in INPUT_KINDS:
+                if kind not in INPUT_KINDS and kind not in _FORMAT_HANDLERS:
                     return [], [], [], 0, ERR_UNKNOWN_KIND.format(kind=repr(kind))
                 if text:
                     total_bytes += len(text.encode("utf-8", errors="replace"))
@@ -101,8 +141,13 @@ class DocumentExtractor:
                     pages += 1
                     if pages > cfg.max_pages:
                         return [], [], [], 0, ERR_TOO_MANY_PAGES
-                else:  # unreachable: INPUT_KINDS gate above; kept as safety net
-                    return [], [], [], 0, ERR_UNKNOWN_KIND.format(kind=repr(kind))
+                else:  # registered custom format (registry-gated above)
+                    for k, t, m in _FORMAT_HANDLERS[kind](self, text or "", mref or ""):
+                        out_k.append(k)
+                        out_t.append(t)
+                        out_m.append(m)
+        except DocTimeout:
+            return [], [], [], 0, ERR_TIMEOUT
         except Exception as exc:  # errors-as-data (docling_client.py:362-380)
             return [], [], [], 0, f"{type(exc).__name__}: {exc}"
         return out_k, out_t, out_m, pages, ""
@@ -110,7 +155,13 @@ class DocumentExtractor:
     def extract_one(self, doc_id: str, kinds, texts, media) -> dict:
         out_k, out_t, out_m, pages, err = self.extract_core(kinds, texts, media)
         if err:
-            return {"doc_id": doc_id, "spans": [], "pages": 0, "status": "error", "error": err}
+            return {
+                "doc_id": doc_id,
+                "spans": [],
+                "pages": 0,
+                "status": status_of(err),
+                "error": err,
+            }
         spans = [
             {"kind": k, "text": t, "media_ref": m, "offset": i}
             for i, (k, t, m) in enumerate(zip(out_k, out_t, out_m))
@@ -177,7 +228,7 @@ class DocumentExtractor:
             flat_o.extend(range(len(out_k)))
             list_offsets.append(len(flat_k))
             pages_col.append(pages)
-            status_col.append("error" if err else "success")
+            status_col.append(status_of(err))
             error_col.append(err)
         struct = pa.StructArray.from_arrays(
             [

@@ -282,13 +282,24 @@ class FastHtmlExtractor(StreamHtmlExtractor):
     '&'), matching HTMLParser's convert_charrefs semantics via the same
     html.unescape table."""
 
+    deadline: float | None = None  # set per document by DocumentExtractor
+
     def extract(self, payload: str) -> list[tuple[str, str]]:
+        from time import monotonic as _mono
+
+        from ..spec import DocTimeout
+
         self.out = []
         self.stack = []
         self.a_depth = 0
         pos = 0
         n = len(payload)
+        deadline = self.deadline
+        tags = 0
         while pos < n:
+            tags += 1
+            if deadline is not None and (tags & 255) == 0 and _mono() > deadline:
+                raise DocTimeout  # cooperative per-doc wall-clock bound
             m = _TAG_RE.search(payload, pos)
             if m is None:
                 text = payload[pos:]

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..schema import INPUT_KINDS, RESULT_SCHEMA, SPAN
-from ..spec import ERR_TOO_LARGE, ERR_TOO_MANY_PAGES, ERR_UNKNOWN_KIND
+from ..spec import ERR_TOO_LARGE, ERR_TOO_MANY_PAGES, ERR_UNKNOWN_KIND, status_of
 
 CHUNK_SCHEMA = pa.schema(
     [
@@ -157,7 +157,7 @@ class ChunkExtractor:
             flat_m.extend(out_m)
             flat_o.extend(range(len(out_k)))
             list_offsets.append(len(flat_k))
-            out_status.append("error" if err else "success")
+            out_status.append(status_of(err))
             out_error.append(err)
         struct = pa.StructArray.from_arrays(
             [
@@ -235,13 +235,13 @@ def make_reassembler(output_format: str | None):
         doc_id = group.column("doc_id")[0].as_py()
         statuses = group.column("status").to_pylist()
         for i, s in enumerate(statuses):
-            if s == "error":  # earliest-chunk error wins (sorted order)
+            if s in ("error", "timeout"):  # earliest-chunk error wins
                 return finish(
                     {
                         "doc_id": doc_id,
                         "spans": [],
                         "pages": 0,
-                        "status": "error",
+                        "status": s,
                         "error": group.column("error")[i].as_py(),
                     }
                 )

@@ -159,6 +159,45 @@ def append_metrics(out_dir: str, rows: list[dict]) -> None:
             f.write(json.dumps(r) + "\n")
 
 
+JOB_META = "_job.json"
+
+
+def write_job_meta(out_dir: str, shards_total: int) -> None:
+    tmp = os.path.join(out_dir, JOB_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"shards_total": shards_total, "started_at_ms": int(time.time() * 1000)},
+            f,
+        )
+    os.replace(tmp, os.path.join(out_dir, JOB_META))
+
+
+def job_status(out_dir: str) -> dict:
+    """Progress surface for a (possibly running or crashed) job — the
+    batch analog of the reference's async job status/progress polling
+    (`api/routes/documents.py:255-299`, `docling_client.py:383-424`).
+    Reads only the manifest + job meta; safe to call from any process at
+    any time."""
+    meta_path = os.path.join(out_dir, JOB_META)
+    if not os.path.exists(meta_path):
+        return {"status": "not_found", "out_dir": out_dir}
+    with open(meta_path) as f:
+        meta = json.load(f)
+    entries = Manifest(out_dir).entries()
+    total = meta.get("shards_total", 0)
+    done = len(entries)
+    rows = sum(e.get("rows", 0) for e in entries)
+    complete = total > 0 and done >= total
+    return {
+        "status": "complete" if complete else "running",
+        "shards_total": total,
+        "shards_done": done,
+        "percent_complete": round(100.0 * done / total, 2) if total else 0.0,
+        "rows_written": rows,
+        "out_dir": out_dir,
+    }
+
+
 def run_job(
     input_paths: list[str],
     out_dir: str,
@@ -173,6 +212,7 @@ def run_job(
     from .extraction_runner import run_wave  # local import to avoid cycle
 
     os.makedirs(out_dir, exist_ok=True)
+    write_job_meta(out_dir, len(input_paths))
     manifest = Manifest(out_dir)
     adopt_promoted_waves(out_dir, manifest)
     invalidate_stale_waves(input_paths, out_dir, manifest)

@@ -113,3 +113,45 @@ def test_metrics_written(ray_session, shards, tmp_path):
     rows = [json.loads(l) for l in open(metrics)]
     assert len(rows) == 2  # 6 shards / wave_size 3
     assert all(r["wall_ms"] > 0 and r["rows"] > 0 for r in rows)
+
+
+def test_admission_precheck(shards):
+    """Launch is refused BEFORE any work: missing shard, oversized shard,
+    and insufficient credits all refuse with a reason; a sufficient
+    balance admits with a footer-metadata estimate."""
+    from docling_api_ray.job import admit_job
+
+    ok, reason, est = admit_job(shards, CFG)
+    assert ok and est["n_docs"] == N_DOCS
+
+    ok, reason, _ = admit_job(shards, CFG, credit_balance=N_DOCS - 1)
+    assert not ok and "insufficient credits" in reason
+
+    ok, reason, _ = admit_job(shards + ["/nonexistent.parquet"], CFG)
+    assert not ok and "missing input shard" in reason
+
+    ok, reason, _ = admit_job(shards, CFG, max_shard_bytes=10)
+    assert not ok and "max_shard_bytes" in reason
+
+    ok, reason, _ = admit_job([], CFG)
+    assert not ok
+
+
+def test_job_status_mid_run(ray_session, shards, tmp_path):
+    """job_status reads percent-complete from the manifest at any point —
+    before launch, mid-run (simulated crash), and at completion."""
+    from docling_api_ray.state.checkpoint import job_status
+
+    out = str(tmp_path / "out")
+    assert job_status(out)["status"] == "not_found"
+
+    run_job(shards, out, CFG, wave_size=2, max_waves=1)
+    st = job_status(out)
+    assert st["status"] == "running"
+    assert st["shards_done"] == 2 and st["shards_total"] == len(shards)
+    assert 0 < st["percent_complete"] < 100
+
+    run_job(shards, out, CFG, wave_size=2)
+    st = job_status(out)
+    assert st["status"] == "complete" and st["percent_complete"] == 100.0
+    assert st["rows_written"] > 0

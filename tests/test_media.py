@@ -98,3 +98,56 @@ def test_vlm_captioner_pipeline(ray_session, tmp_path):
         concurrency=(1, 2),
     ).to_pandas().sort_values(["doc_id", "media_ref"]).reset_index(drop=True)
     assert a.equals(caps2)
+
+
+def test_vlm_retry_and_rate_limit():
+    """Transient provider failures are retried with backoff and succeed;
+    permanent failures exhaust retries and become error rows; the
+    rate limiter paces launches."""
+    import asyncio
+    import time
+
+    import pyarrow as pa
+
+    from docling_api_ray.stages.vlm import (
+        FakeVlmProvider,
+        FlakyVlmProvider,
+        VlmCaptioner,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["d1"], pa.string()),
+            "spans": pa.array(
+                [[{"kind": "picture", "text": "", "media_ref": "img-0", "offset": 0}]]
+            ),
+        }
+    )
+    # transient: fails twice, then succeeds → retried to success
+    cap = VlmCaptioner(FlakyVlmProvider(fail_first=2), backoff_base_s=0.001)
+    out = cap(batch).to_pylist()
+    assert out[0]["status"] == "success" and out[0]["caption"].startswith("caption[")
+
+    # permanent: fails more times than max_retries → error row with reason
+    cap = VlmCaptioner(FlakyVlmProvider(fail_first=99), max_retries=2, backoff_base_s=0.001)
+    out = cap(batch).to_pylist()
+    assert out[0]["status"] == "error"
+    assert out[0]["error"].startswith("retries_exhausted(3)")
+
+    # rate limiting: 4 requests at 100/s take >= ~30ms
+    many = pa.table(
+        {
+            "doc_id": pa.array(["d"] * 4, pa.string()),
+            "spans": pa.array(
+                [
+                    [{"kind": "picture", "text": "", "media_ref": f"ok-{i}", "offset": 0}]
+                    for i in range(4)
+                ]
+            ),
+        }
+    )
+    cap = VlmCaptioner(FakeVlmProvider(), rate_limit_per_s=100.0)
+    t0 = time.monotonic()
+    out = cap(many).to_pylist()
+    assert time.monotonic() - t0 >= 0.025
+    assert all(r["status"] in ("success", "error") for r in out)

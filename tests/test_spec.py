@@ -184,3 +184,49 @@ def test_pages_and_picture_linking():
         ("picture", "img-d4-0", 0),
         ("picture", "img-d4-2", 1),
     ]
+
+
+def test_doc_timeout_guard():
+    """doc_timeout_s bounds per-document wall clock: an expired deadline
+    yields (status="timeout", error=ERR_TIMEOUT) from both the engine
+    extractor and the oracle; the HTML tokenizer itself also checks the
+    deadline so a single pathological span cannot stall a block."""
+    import time
+
+    import pytest as _pytest
+
+    from docling_api_ray.spec import ERR_TIMEOUT, DocTimeout, status_of
+    from docling_api_ray.stages.extract import DocumentExtractor
+    from docling_api_ray.stages.html_extract import FastHtmlExtractor
+
+    assert status_of("") == "success"
+    assert status_of(ERR_TIMEOUT) == "timeout"
+    assert status_of("boom") == "error"
+
+    cfg = PipelineConfig(doc_timeout_s=0.0)  # deadline already expired
+    ext = DocumentExtractor(cfg)
+    row = ext.extract_one("d1", ["html"], ["<p>hello</p>"], [""])
+    assert row["status"] == "timeout" and row["error"] == ERR_TIMEOUT
+    orow = oracle.extract_document(
+        "d1", [{"kind": "html", "text": "<p>hello</p>", "media_ref": "", "offset": 0}], cfg
+    )
+    assert orow["status"] == "timeout" and orow["error"] == ERR_TIMEOUT
+
+    # tokenizer-level check: >256 tags with an expired deadline raises
+    f = FastHtmlExtractor(True)
+    f.deadline = time.monotonic() - 1.0
+    with _pytest.raises(DocTimeout):
+        f.extract("<p>x</p>" * 1000)
+    f.deadline = None  # disabled → parses fine
+    assert f.extract("<p>x</p>")
+
+
+def test_doc_timeout_disabled_and_generous():
+    """None disables the guard; the default budget never fires on
+    ordinary documents (oracle agreement preserved)."""
+    from docling_api_ray.stages.extract import DocumentExtractor
+
+    for cfg in (PipelineConfig(doc_timeout_s=None), PipelineConfig()):
+        ext = DocumentExtractor(cfg)
+        row = ext.extract_one("d2", ["html"], ["<p>hello world</p>"], [""])
+        assert row["status"] == "success"
