@@ -77,6 +77,8 @@ def bucketed_semi_anti(
     keys_key: str,
     n_buckets: int,
     anti: bool = False,
+    fact_schema: pa.Schema | None = None,
+    post=None,
 ) -> rd.Dataset:
     """Distributed semi-join (or anti-join with `anti=True`): keep fact
     rows whose `fact_key` appears (doesn't appear) in `keys_ds[keys_key]`.
@@ -84,10 +86,18 @@ def bucketed_semi_anti(
     Both sides shuffle once by key-hash bucket; membership resolves inside
     each bucket with `pc.is_in`. The keys side is deduped per batch before
     the shuffle (combiner-style) so duplicate fact keys don't inflate it.
-    Output schema == fact schema.
+    Output schema == fact schema. Pass `fact_schema` when it is statically
+    known — `Dataset.schema()` triggers a partial execution of the fact
+    branch just to learn column types.
+
+    `post(table) -> table` runs on each bucket's filtered fact rows INSIDE
+    the shuffle. Because a bucket holds every row of its keys, a per-key
+    aggregation in `post` is already final — it rides the join's
+    partitioning instead of paying a second all-to-all.
     """
-    sch = fact_ds.schema()
-    fact_schema = getattr(sch, "base_schema", sch)  # ray Schema → pa.Schema
+    if fact_schema is None:
+        sch = fact_ds.schema()
+        fact_schema = getattr(sch, "base_schema", sch)  # ray Schema → pa.Schema
     fact_names = list(fact_schema.names)
 
     def fact_side(t: pa.Table) -> pa.Table:
@@ -117,7 +127,8 @@ def bucketed_semi_anti(
         mask = pc.is_in(left[fact_key], value_set=right)
         if anti:
             mask = pc.invert(mask)
-        return left.filter(mask).select(fact_names)
+        out = left.filter(mask).select(fact_names)
+        return post(out) if post is not None else out
 
     return both.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
 

@@ -172,19 +172,26 @@ def q3_top_orders(sf_dir: str):
         )
 
     nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+
+    def agg_in_bucket(t: pa.Table) -> pa.Table:
+        # buckets hold every lineitem of their order keys, so this
+        # per-bucket sum IS the final per-order revenue — no second
+        # all-to-all aggregate needed
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.select(["l_orderkey", "rev_sum"]).rename_columns(
+            ["l_orderkey", "revenue"]
+        )
+
     joined = bucketed_semi_anti(
         li.map_batches(filt_li, batch_format="pyarrow"),
         "l_orderkey",
         okeys_tbl,
         "o_orderkey",
         nb,
+        fact_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())]),
+        post=agg_in_bucket,
     )
-    out = (
-        joined.groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
-        .sort(["revenue", "l_orderkey"], descending=[True, False])
-        .limit(10)
-    )
+    out = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
     t = out.take_all()
     tbl = pa.Table.from_pylist(t)
     tbl = tbl.rename_columns(["o_orderkey", "revenue"])
@@ -468,8 +475,18 @@ def _order_custkeys(sf_dir: str, priority: str | None = None):
 def q_semi_join_customers(sf_dir: str):
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+    cust_schema = pa.schema(
+        [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+    )
     return (
-        bucketed_semi_anti(cust, "c_custkey", _order_custkeys(sf_dir), "o_custkey", nb)
+        bucketed_semi_anti(
+            cust,
+            "c_custkey",
+            _order_custkeys(sf_dir),
+            "o_custkey",
+            nb,
+            fact_schema=cust_schema,
+        )
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_active"))
     )
@@ -495,6 +512,9 @@ def q_anti_join_customers(sf_dir: str):
             "o_custkey",
             nb,
             anti=True,
+            fact_schema=pa.schema(
+                [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+            ),
         )
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_inactive"))
@@ -696,7 +716,14 @@ def q_set_ops_customers(sf_dir: str):
         orders.map_batches(tag, batch_format="pyarrow"), "key", nb
     )
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return bucketed_semi_anti(cust, "c_custkey", keep_keys, "key", nb)
+    return bucketed_semi_anti(
+        cust,
+        "c_custkey",
+        keep_keys,
+        "key",
+        nb,
+        fact_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
 
 
 SET_OPS_SQL = """
