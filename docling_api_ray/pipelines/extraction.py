@@ -112,11 +112,10 @@ def build_extraction(
         )
 
     giant = _read(paths, threshold, giant=True, pushdown=pushdown)
-    chunks = giant.map_batches(
-        make_splitter(cfg), batch_format="pyarrow", batch_size=8
-    )
-    # repartition so chunk extraction isn't fused into a handful of tasks —
-    # the whole point of splitting giants is spreading them across workers.
+    # repartition BEFORE the splitter: the pruned giant read often yields
+    # only a handful of blocks, and split+chunk fuse onto them — measured
+    # as a 4-task serial segment at 32 CPUs. Repartitioning the raw giant
+    # rows first spreads split AND chunk extraction across the cluster.
     # Cost: an all-to-all over the ~2% giant slice only. Partition count is
     # capped at 2×CPUs: more would oversubmit the downstream map_groups
     # (dozens of queued tasks → a worker-spawn storm that can stall small
@@ -124,7 +123,10 @@ def build_extraction(
     import ray as _ray
 
     n_parts = min(cfg.chunk_partitions, max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2))
-    chunks = chunks.repartition(n_parts)
+    giant = giant.repartition(n_parts)
+    chunks = giant.map_batches(
+        make_splitter(cfg), batch_format="pyarrow", batch_size=8
+    )
     if cfg.extractor_mode == "actors":
         # the giant slice gets its own SMALL pool: min 1 so the two pools'
         # floors can never reserve every CPU (read/sort starvation deadlock)
