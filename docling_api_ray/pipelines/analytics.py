@@ -1,0 +1,256 @@
+"""Analytic operators: grouping sets (ROLLUP), exact distributed
+quantiles, numerically-stable distributed correlation/covariance, and
+window functions (running totals, lag deltas) — the OLAP surface a batch
+engine needs beyond plain GROUP BY. Every query here is hash-checked
+against a DuckDB oracle.
+
+Design-for-scale notes:
+- ROLLUP derives its super-aggregate levels from the FINEST distributed
+  aggregate (Sum/Count are re-aggregable), so only one shuffle touches
+  the fact table; the rollup itself runs on the output-sized result.
+- Quantiles use the value-histogram pattern: a distributed
+  groupby(value) count (partial+final under Ray), then quantile
+  selection over the tiny histogram — exact, no sort of the fact table.
+  Works whenever the value domain is bounded (here l_quantity); for
+  unbounded domains the same pattern runs over binned values with a
+  second in-bin pass.
+- corr/covar use the two-pass centered algorithm (means first, then
+  deviation products) — the numerically stable distributed formulation;
+  each pass is a streaming map_batches + tiny aggregate.
+- Window functions partition by key (groupby) and sort only INSIDE each
+  group — never a global sort. Running totals accumulate integer cents
+  so the result is exact and engine-order-independent.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Mean, Sum
+
+from .util import agg_to_table, epoch_seconds, read, round_col
+
+# ---------------------------------------------------------------------------
+# ROLLUP (grouping sets): orders by (priority, year), (priority), ()
+
+
+def q_orders_rollup(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "priority": t["o_orderpriority"],
+                "year": pc.strftime(t["o_orderdate"], format="%Y"),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    finest = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["priority", "year"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    )
+
+    def rollup(t: pa.Table) -> pa.Table:
+        # t is the finest aggregate — output-sized (|priorities|×|years|);
+        # super-aggregates re-aggregate it, never the fact table
+        df = t.to_pandas()
+        lvl1 = (
+            df.groupby("priority", as_index=False)[["n_orders", "total"]]
+            .sum()
+            .assign(year="ALL")
+        )
+        lvl2 = pd.DataFrame(
+            {
+                "priority": ["ALL"],
+                "year": ["ALL"],
+                "n_orders": [df["n_orders"].sum()],
+                "total": [df["total"].sum()],
+            }
+        )
+        out = pd.concat([df, lvl1, lvl2], ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        tbl = pa.Table.from_pandas(
+            out[["priority", "year", "n_orders", "total"]], preserve_index=False
+        )
+        return round_col(tbl, "total", 2)
+
+    # single-block finalization: the finest result is tiny
+    return finest.repartition(1).map_batches(rollup, batch_format="pyarrow")
+
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(strftime(o_orderdate, '%Y'), 'ALL') AS year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, strftime(o_orderdate, '%Y'))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles via value histogram (quantile_disc semantics:
+# 1-based index ceil(q*n) of the sorted multiset)
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_lineitem_quantiles(sf_dir: str):
+    ds = read(sf_dir, "lineitem", columns=["l_quantity"])
+    hist = ds.groupby("l_quantity").aggregate(Count(alias_name="n"))
+
+    def select_quantiles(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("l_quantity").reset_index(drop=True)
+        cum = df["n"].cumsum().to_numpy()
+        n = int(cum[-1]) if len(cum) else 0
+        qs, vals = [], []
+        for q in QUANTILES:
+            idx = max(1, math.ceil(q * n))  # 1-based rank, quantile_disc
+            pos = int(np.searchsorted(cum, idx, side="left"))
+            qs.append(q)
+            vals.append(float(df["l_quantity"].iloc[pos]))
+        return pa.table(
+            {"q": pa.array(qs, pa.float64()), "value": pa.array(vals, pa.float64())}
+        )
+
+    return hist.repartition(1).map_batches(select_quantiles, batch_format="pyarrow")
+
+
+QUANTILES_SQL = f"""
+WITH qd AS (
+  SELECT quantile_disc(l_quantity, {list(QUANTILES)}) AS v FROM lineitem
+)
+SELECT unnest({list(QUANTILES)}) AS q, unnest(v) AS value FROM qd
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed correlation / covariance (two-pass centered sums)
+
+
+def q_lineitem_corr(sf_dir: str):
+    cols = ["l_quantity", "l_extendedprice"]
+    ds = read(sf_dir, "lineitem", columns=cols)
+    m = ds.aggregate(
+        Count(alias_name="n"),
+        Mean("l_quantity", alias_name="mx"),
+        Mean("l_extendedprice", alias_name="my"),
+    )
+    n, mx, my = m["n"], m["mx"], m["my"]
+
+    def dev(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False) - mx
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False) - my
+        return pa.table(
+            {
+                "sxy": pa.array([float(np.dot(x, y))]),
+                "sxx": pa.array([float(np.dot(x, x))]),
+                "syy": pa.array([float(np.dot(y, y))]),
+            }
+        )
+
+    s = ds.map_batches(dev, batch_format="pyarrow").aggregate(
+        Sum("sxy", alias_name="sxy"), Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy")
+    )
+    covar = s["sxy"] / (n - 1)
+    corr = s["sxy"] / math.sqrt(s["sxx"] * s["syy"]) if s["sxx"] * s["syy"] > 0 else float("nan")
+    t = agg_to_table(
+        {"n": n, "corr_qty_price": round(corr, 6), "covar_qty_price": round(covar, 4)},
+        ["n", "corr_qty_price", "covar_qty_price"],
+    )
+    return t
+
+
+CORR_SQL = """
+SELECT count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window: per-customer running order total (integer cents → exact)
+
+
+def q_orders_running_total(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        cents = np.round(g["o_totalprice"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].to_numpy(),
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "running_cents": cents.cumsum(),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window: per-user lag delta between consecutive events (LAG analog)
+
+
+def q_events_lag_delta(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_s = g["ts"].astype("datetime64[us]").astype("int64") // 10**6
+        prev = ts_s.shift(1)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "delta_s": (ts_s - prev).to_numpy(),
+            }
+        ).dropna(subset=["delta_s"])
+        out["delta_s"] = out["delta_s"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(deltas, batch_format="pandas")
+
+
+LAG_DELTA_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) // 1000000
+         - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           // 1000000 AS delta_s
+FROM events
+QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+"""
+
+
+QUERIES = {
+    "q_orders_rollup": q_orders_rollup,
+    "q_lineitem_quantiles": q_lineitem_quantiles,
+    "q_lineitem_corr": q_lineitem_corr,
+    "q_orders_running_total": q_orders_running_total,
+    "q_events_lag_delta": q_events_lag_delta,
+}
+
+ORACLE = {
+    "q_orders_rollup": ROLLUP_SQL,
+    "q_lineitem_quantiles": QUANTILES_SQL,
+    "q_lineitem_corr": CORR_SQL,
+    "q_orders_running_total": RUNNING_TOTAL_SQL,
+    "q_events_lag_delta": LAG_DELTA_SQL,
+}

@@ -16,8 +16,10 @@ Datasets — nothing is materialized on the driver.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -59,6 +61,94 @@ def bucket_col(key: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
         pc.bit_wise_and(pc.cast(key, pa.int64()), pa.scalar(n_buckets - 1, pa.int64())),
         pa.int32(),
     )
+
+
+def hash_bucket_col(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """Deterministic bucket for STRING keys: blake2b over each distinct
+    value (dictionary-encoded, so the hash runs once per unique value per
+    batch, not per row), spread into [0, n_buckets). Stable across
+    processes — never Python's salted hash()."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    h = [
+        int.from_bytes(
+            hashlib.blake2b(str(u).encode("utf-8"), digest_size=4).digest(), "big"
+        )
+        & (n_buckets - 1)
+        for u in uniq
+    ]
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    return pa.array(np.asarray(h, dtype=np.int32)[idx], type=pa.int32())
+
+
+def bucketed_equi_join(
+    left_ds: rd.Dataset,
+    left_key: str,
+    right_ds: rd.Dataset,
+    right_key: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    n_buckets: int,
+    how: str = "inner",
+    string_key: bool = False,
+    post=None,
+) -> rd.Dataset:
+    """Generic distributed equi-join (inner or "left outer"): tag both
+    sides, hash-partition by join key into `n_buckets`, union, ONE
+    groupby(bucket) shuffle, and resolve each bucket with Arrow's acero
+    `Table.join` — no pandas dtype round-trip, no driver-side state.
+
+    Non-key column names must be disjoint across the two schemas. Output
+    columns = left columns + right columns minus `right_key` (acero
+    layout). `post(table) -> table` runs on each bucket's joined rows
+    inside the shuffle — a bucket holds every row of its keys, so a
+    per-key aggregation in `post` is partial-final-ready (group again
+    cheaply downstream on the aggregated rows only).
+
+    Generalizes the reference's DB joins (usage-by-key lookups,
+    `/root/reference/api/services/key_service.py:146-164`) to fact-sized
+    sides. `string_key=True` buckets via blake2b (hash_bucket_col);
+    int keys use the cheap mask bucket."""
+    assert how in ("inner", "left outer"), how
+    assert left_key != right_key, "rename one side's key: names must differ"
+    overlap = (set(left_schema.names) - {left_key}) & (
+        set(right_schema.names) - {right_key}
+    )
+    assert not overlap, f"column collision: {overlap}"
+    bucketer = hash_bucket_col if string_key else bucket_col
+    left_names = list(left_schema.names)
+    right_names = list(right_schema.names)
+
+    def tag(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {"__bucket": bucketer(t[key], n_buckets)}
+            for f in left_schema:
+                cols[f.name] = (
+                    t[f.name] if side == 0 else pa.nulls(len(t), type=f.type)
+                )
+            for f in right_schema:
+                cols[f.name] = (
+                    t[f.name] if side == 1 else pa.nulls(len(t), type=f.type)
+                )
+            cols["__side"] = pa.array(np.full(len(t), side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(tag(0, left_key), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_key), batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["__side"]
+        lt = g.filter(pc.equal(side, 0)).select(left_names)
+        rt = g.filter(pc.equal(side, 1)).select(right_names)
+        out = lt.join(rt, keys=[left_key], right_keys=[right_key], join_type=how)
+        return post(out) if post is not None else out
+
+    return both.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
 
 
 def _value_set(col: pa.ChunkedArray) -> pa.Array:

@@ -33,6 +33,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from .join import (
     adaptive_n_buckets,
     bucket_col,
+    bucketed_equi_join,
     bucketed_except_keys,
     bucketed_semi_anti,
     table_bytes,
@@ -736,3 +737,180 @@ WHERE c_custkey IN (
 
 QUERIES["q_set_ops_customers"] = q_set_ops_customers
 ORACLE["q_set_ops_customers"] = SET_OPS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q10-style returned-items report: multi-way join (two fact tables through
+# the generic bucketed equi-join, dims broadcast on the output-sized top-k)
+Q10_D1 = datetime(1996, 1, 1)
+Q10_D2 = datetime(1997, 1, 1)
+
+
+def q10_returned_items(sf_dir: str):
+    """lineitem(R-flag) ⋈ orders(1996) ⋈ customer ⋈ nation, grouped by
+    customer, top 20 by revenue. Fact⋈fact rides bucketed_equi_join with
+    an in-bucket partial aggregate (bucket holds all lineitems of its
+    orderkeys, so per-custkey sums are mergeable partials); the global
+    merge shuffles only customer-grained partials; customer/nation names
+    attach to the 20 output rows from broadcast dims."""
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(Q10_D1)),
+            pc.less(t["o_orderdate"], pa.scalar(Q10_D2)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def filt_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+
+    def partial_by_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    joined = bucketed_equi_join(
+        li.map_batches(filt_li, batch_format="pyarrow"),
+        "l_orderkey",
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        "o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        n_buckets=nb,
+        how="inner",
+        post=partial_by_cust,
+    )
+    top = (
+        joined.groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "o_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    cmap = dict(
+        zip(cust["c_custkey"].to_pylist(), zip(cust["c_name"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    )
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = broadcast((cmap, nmap))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        cm, nm = ray.get(ref)
+        names, nats = [], []
+        for k in t["o_custkey"].to_pylist():
+            cname, natkey = cm[k]
+            names.append(cname)
+            nats.append(nm[natkey])
+        t = pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "c_name": pa.array(names, pa.string()),
+                "n_name": pa.array(nats, pa.string()),
+                "revenue": t["revenue"],
+            }
+        )
+        return round_col(t, "revenue", 2)
+
+    return top.map_batches(enrich, batch_format="pyarrow")
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey
+LIMIT 20
+"""
+
+QUERIES["q10_returned_items"] = q10_returned_items
+ORACLE["q10_returned_items"] = Q10_SQL
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join: order counts per customer including zero-order customers
+def q_cust_order_counts(sf_dir: str):
+    """customer LEFT JOIN (orders grouped by custkey): the right side is
+    customer-grained (fact-derived, unbounded at scale), so it rides the
+    bucketed left-outer join; null-extended rows are the zero-order
+    customers. In-bucket partial rollup by segment, tiny final merge."""
+    counts = (
+        read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t["n_orders"]
+        filled = pc.fill_null(pc.cast(n, pa.int64()), 0)
+        t2 = pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                "zero_flag": pc.cast(pc.is_null(n), pa.int64()),
+                "n_orders": filled,
+            }
+        )
+        g = t2.group_by("c_mktsegment").aggregate(
+            [("one", "sum"), ("zero_flag", "sum"), ("n_orders", "sum")]
+        )
+        return g.rename_columns(
+            ["c_mktsegment", "n_customers", "n_no_orders", "total_orders"]
+        )
+
+    joined = bucketed_equi_join(
+        cust,
+        "c_custkey",
+        counts,
+        "o_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]),
+        n_buckets=nb,
+        how="left outer",
+        post=partial,
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("n_no_orders", alias_name="n_no_orders"),
+        Sum("total_orders", alias_name="total_orders"),
+    )
+
+
+LEFT_JOIN_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders,
+       CAST(sum(coalesce(n, 0)) AS BIGINT) AS total_orders
+FROM customer
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+  ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["q_cust_order_counts"] = q_cust_order_counts
+ORACLE["q_cust_order_counts"] = LEFT_JOIN_SQL

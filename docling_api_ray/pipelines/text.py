@@ -212,6 +212,42 @@ def q_doc_langid(sf_dir: str):
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _langid_sql() -> str:
+    """SQL oracle generated from _LANG_PROFILES so the heuristic and the
+    oracle can never drift: per-language score = stopword hits among the
+    [a-z']+ tokens of lower(text); winner = first language in sorted
+    order attaining the (non-zero) max — exactly LangId.__call__'s
+    strictly-greater update over sorted(profiles)."""
+    langs = sorted(l for l, ws in _LANG_PROFILES.items() if ws)
+    score_exprs = ",\n    ".join(
+        "len(list_filter(tk, t -> t IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in _LANG_PROFILES[lang]), lang
+        )
+        for lang in langs
+    )
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    whens = "\n       ".join(
+        f"WHEN s_{lang} = greatest({all_scores}) THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z'']+') AS tk
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    {score_exprs}
+  FROM toks
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest({all_scores}) = 0 THEN 'unknown'
+       {whens}
+       ELSE '{langs[-1]}' END AS predicted
+FROM scores
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dedup (rows-only oracle; Jaccard-verified pairs)
 
@@ -671,8 +707,10 @@ ORACLE = {
     "q_doc_exact_dedup": EXACT_DEDUP_SQL,
     "q_doc_fingerprint": FINGERPRINT_SQL,
     "q_doc_lang_stats": LANG_STATS_SQL,
-    # q_doc_langid / q_doc_minhash_pairs / q_doc_simhash: not
-    # SQL-expressible → rows-only driver check; verified in pytest instead
+    "q_doc_langid": _langid_sql(),
+    # q_doc_minhash_pairs / q_doc_simhash(_pairs) / q_doc_rolling_fingerprint:
+    # not SQL-expressible (blake2b token hashes) → rows-only driver check;
+    # verified in pytest (brute-force Jaccard / determinism) instead
 }
 
 

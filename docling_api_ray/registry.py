@@ -3,18 +3,27 @@ driver contract (__ray_entry__.queries / oracle_sql)."""
 
 from __future__ import annotations
 
-from .pipelines import events, extraction_queries, relational, similarity, text
+from .pipelines import (
+    analytics,
+    events,
+    extraction_queries,
+    relational,
+    similarity,
+    text,
+)
+
+_MODULES = (relational, events, analytics, text, similarity, extraction_queries)
 
 
 def all_queries() -> dict:
     out = {}
-    for mod in (relational, events, text, similarity, extraction_queries):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict:
     out = {}
-    for mod in (relational, events, text, similarity, extraction_queries):
+    for mod in _MODULES:
         out.update(mod.ORACLE)
     return out
