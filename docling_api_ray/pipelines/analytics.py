@@ -239,8 +239,89 @@ QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (the mergeable approx-distinct
+# primitive a 100 TB pipeline uses where exact distinct would shuffle the
+# fact table). Per batch: vectorized splitmix64 → (register, rho) partial
+# maxima (≤ 2^P rows per batch, the raw keys never shuffle); one tiny
+# groupby(register).max merge; constant-size estimator finish. Verified
+# in pytest against exact distinct (error bound ~1.04/sqrt(m) ≈ 1.6%);
+# no SQL oracle by nature (approximate).
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hll_partial(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) partial maxima for one batch of int64 keys."""
+    h = _splitmix64(vals.astype(np.uint64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - HLL_P)) - 1)
+    bits = 64 - HLL_P
+    # floor(log2(w)) is exact: w < 2^52 fits float64's 53-bit mantissa
+    lead = np.where(
+        w > 0,
+        bits - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))).astype(np.int64),
+        bits + 1,
+    )
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(regs, idx, lead)
+    nz = np.nonzero(regs)[0]
+    return nz, regs[nz]
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) with small-range
+    correction. `regs` is the dense 2^P register array."""
+    m = HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return float(e)
+
+
+def q_orders_distinct_custkeys_hll(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx, rho = _hll_partial(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"reg": pa.array(idx, pa.int64()), "rho": pa.array(rho, pa.int64())}
+        )
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        regs[t["reg"].to_numpy(zero_copy_only=False)] = t["rho"].to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {"approx_distinct_custkeys": pa.array([int(round(hll_estimate(regs)))], pa.int64())}
+        )
+
+    return merged.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 QUERIES = {
     "q_orders_rollup": q_orders_rollup,
+    "q_orders_distinct_custkeys_hll": q_orders_distinct_custkeys_hll,
     "q_lineitem_quantiles": q_lineitem_quantiles,
     "q_lineitem_corr": q_lineitem_corr,
     "q_orders_running_total": q_orders_running_total,

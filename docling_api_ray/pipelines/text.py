@@ -807,3 +807,146 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
 
 QUERIES["q_doc_sample"] = q_doc_sample
 ORACLE["q_doc_sample"] = SAMPLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. Scale shape: the (doc, term, tf) rows are
+# produced with in-batch aggregation (one Counter pass per doc — the
+# token stream never leaves the worker); document frequency and the
+# tf⋈df join share ONE term-bucketed shuffle (a bucket holds every row
+# of its terms, so df is exact in-bucket and the join is local); the
+# per-doc top-k is a second, doc-bucketed shuffle. No vocabulary
+# broadcast, no driver-side state.
+
+TFIDF_TOP_K = 3
+
+
+def q_doc_tfidf(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    # parquet-metadata count — no data scan
+    n_docs = read(sf_dir, "documents", columns=["doc_id"]).count()
+    word = re.compile(r"\w+", re.ASCII)  # ASCII \w — matches DuckDB's RE2
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, terms, tfs = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(word.findall(text.lower()))
+            ids.extend([doc_id] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+
+    nb = max(16, adaptive_n_buckets(table_bytes(sf_dir, "documents")))
+
+    def add_term_bucket(t: pa.Table) -> pa.Table:
+        from .join import hash_bucket_col
+
+        return t.append_column("__bucket", hash_bucket_col(t["term"], nb))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # tf rows are unique per (doc, term), so per-term row count IS df
+        df_col = g.groupby("term")["doc_id"].transform("count")
+        score = np.round(
+            g["tf"].to_numpy() * np.log(float(n_docs) / df_col.to_numpy()), 4
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "term": g["term"].to_numpy(),
+                "tf": g["tf"].to_numpy(),
+                "df": df_col.to_numpy().astype("int64"),
+                "score": score,
+            }
+        )
+
+    scored = (
+        tf.map_batches(add_term_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", "term"], ascending=[False, True]
+        ).head(TFIDF_TOP_K)
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
+TFIDF_SQL = rf"""
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (
+    PARTITION BY tf.doc_id
+    ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) DESC,
+             tf.term) <= {TFIDF_TOP_K}
+"""
+
+QUERIES["q_doc_tfidf"] = q_doc_tfidf
+ORACLE["q_doc_tfidf"] = TFIDF_SQL
+
+
+# ---------------------------------------------------------------------------
+# Global top-k most frequent terms (the canonical word count, combiner
+# form): tokens are counted INSIDE each batch (Counter per batch — the
+# token stream never shuffles), the per-batch partial counts merge in one
+# small groupby(term), and only term-grained rows reach the sort.
+
+WORD_TOPK = 20
+
+
+def q_word_topk(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["text"])
+    word = re.compile(r"\w+", re.ASCII)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for text in t["text"].to_pylist():
+            c.update(word.findall(text.lower()))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(WORD_TOPK)
+    )
+
+
+WORD_TOPK_SQL = rf"""
+SELECT t AS term, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS t FROM documents)
+GROUP BY t
+ORDER BY n DESC, t
+LIMIT {WORD_TOPK}
+"""
+
+QUERIES["q_word_topk"] = q_word_topk
+ORACLE["q_word_topk"] = WORD_TOPK_SQL

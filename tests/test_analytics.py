@@ -1,0 +1,47 @@
+"""Analytics operators with no SQL oracle: HLL sketch accuracy."""
+
+import duckdb
+import numpy as np
+
+from docling_api_ray.pipelines.analytics import (
+    HLL_M,
+    _hll_partial,
+    hll_estimate,
+    q_orders_distinct_custkeys_hll,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_estimate_accuracy_pure():
+    # 50k distinct int keys → estimate within ~3 sigma of 1.04/sqrt(m)
+    vals = np.arange(50_000, dtype=np.int64) * 7919 + 13
+    idx, rho = _hll_partial(vals)
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    regs[idx] = rho
+    est = hll_estimate(regs)
+    assert abs(est - 50_000) / 50_000 < 3 * 1.04 / np.sqrt(HLL_M)
+
+
+def test_hll_partial_mergeable():
+    vals = np.arange(10_000, dtype=np.int64)
+    i1, r1 = _hll_partial(vals[:6000])
+    i2, r2 = _hll_partial(vals[4000:])  # overlapping halves
+    merged = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(merged, i1, r1)
+    np.maximum.at(merged, i2, r2)
+    i3, r3 = _hll_partial(vals)
+    whole = np.zeros(HLL_M, dtype=np.int64)
+    whole[i3] = r3
+    assert (merged == whole).all()  # max-merge == single pass
+
+
+def test_hll_query_vs_exact(ray_session):
+    est = q_orders_distinct_custkeys_hll(SF).to_pandas()[
+        "approx_distinct_custkeys"
+    ].iloc[0]
+    con = duckdb.connect()
+    exact = con.execute(
+        f"SELECT count(DISTINCT o_custkey) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) / max(exact, 1) < 0.05
