@@ -23,6 +23,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Heap reuse for big allocations — this sandbox's hypervisor shows
+# episodic ~1 ms page-fault storms (BASELINE.md round-2 note); fresh
+# mmap'd blocks re-fault every batch, heap blocks fault once per worker.
+# Set before ray.init so workers inherit.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",

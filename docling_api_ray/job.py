@@ -103,6 +103,10 @@ def main() -> None:
         print(json.dumps(job_status(args.output)))
         return
 
+    # heap reuse for big allocations (see BASELINE.md round-2 noise note);
+    # must precede ray.init so workers inherit
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
     import ray
 
     if not ray.is_initialized():

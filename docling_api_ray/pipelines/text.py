@@ -180,7 +180,8 @@ _LANG_PROFILES = {
 
 
 class LangId:
-    """Actor-pool stage: profiles compiled once per actor."""
+    """Stage state (compiled regex + frozen profiles) built once per
+    worker via _cached_stage."""
 
     def __init__(self):
         self.word = re.compile(r"[a-z']+")
@@ -209,7 +210,7 @@ class LangId:
 
 def q_doc_langid(sf_dir: str):
     ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_cached_stage(LangId), batch_format="pyarrow")
 
 
 def _langid_sql() -> str:
@@ -261,6 +262,28 @@ MAX_BUCKET = 64  # skip degenerate LSH buckets (quadratic pair blowup guard)
 N_LSH_BUCKETS_MIN = 64
 N_PAIR_BUCKETS = 64
 
+
+def _cached_stage(cls, **kwargs):
+    """Task-based alternative to an actor pool for stages whose state is
+    cheap and deterministic (seeded permutations, compiled regexes): the
+    instance is built once per WORKER PROCESS (module-level cache keyed by
+    class + kwargs) and reused across that worker's batches. Semantics
+    match the actor-pool form (state built once, never per batch) without
+    paying per-actor process startup + module import (~2 s each), which
+    dominates small runs. Heavy state (models) stays on actor pools."""
+    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+
+    def fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _STAGE_CACHE[key] = cls(**kwargs)
+        return inst(batch)
+
+    fn.__name__ = fn.__qualname__ = f"{cls.__name__}_task"
+    return fn
+
+
+_STAGE_CACHE: dict = {}
 
 _HASH_CACHE: dict[str, int] = {}
 
@@ -386,15 +409,41 @@ class MinHasher:
 
 
 def _candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    pairs = []
-    for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
-        ids = sorted(sub["doc_id"].unique().tolist())
-        if len(ids) > MAX_BUCKET:  # degenerate band bucket
-            continue
-        pairs.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
-    if not pairs:
-        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")})
-    return pd.DataFrame(sorted(set(pairs)), columns=["doc_a", "doc_b"])
+    """Pairs of docs sharing a (band_id, band_hash) cell, vectorized:
+    lexsort + boundary masks find the cells (a pandas groupby over the
+    ~rows×bands tiny cells was the pipeline's hotspot — 9.6 s/corpus at
+    sf0.1, vs ~0.1 s for this formulation); only the rare cells with ≥2
+    docs enter the pair loop. Output identical: sorted unique (a<b)
+    pairs, cells with > MAX_BUCKET docs dropped."""
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+    )
+    if not len(group):
+        return empty
+    bi = group["band_id"].to_numpy()
+    bh = group["band_hash"].to_numpy()
+    di = group["doc_id"].to_numpy()
+    order = np.lexsort((di, bh, bi))
+    bi, bh, di = bi[order], bh[order], di[order]
+    # drop duplicate (band, hash, doc) rows
+    keep = np.ones(len(bi), dtype=bool)
+    keep[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1]) | (di[1:] != di[:-1])
+    bi, bh, di = bi[keep], bh[keep], di[keep]
+    new_cell = np.ones(len(bi), dtype=bool)
+    new_cell[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.nonzero(new_cell)[0]
+    ends = np.append(starts[1:], len(bi))
+    sizes = ends - starts
+    sel = (sizes > 1) & (sizes <= MAX_BUCKET)
+    chunks = []
+    for s, e in zip(starts[sel], ends[sel]):
+        ids = di[s:e]  # sorted ascending within the cell
+        ia, ib = np.triu_indices(len(ids), k=1)
+        chunks.append(np.stack([ids[ia], ids[ib]], axis=1))
+    if not chunks:
+        return empty
+    allp = np.unique(np.concatenate(chunks), axis=0)
+    return pd.DataFrame({"doc_a": allp[:, 0], "doc_b": allp[:, 1]})
 
 
 def _pair_bucket(a: int, b: int, npb: int = N_PAIR_BUCKETS) -> int:
@@ -504,12 +553,14 @@ def q_doc_minhash_pairs(sf_dir: str):
     sh_ds = ds.map_batches(
         shingle_rows, batch_format="pyarrow", batch_size=128
     ).materialize()
+    # plain tasks, not an actor pool: MinHasher state is seed-deterministic
+    # numpy arrays (µs to build), cached once per worker process via
+    # _cached_stage — fresh actors cost ~2 s of module import each, which
+    # dominates the whole stage; warm task-pool workers pay nothing
     bands = sh_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"n_buckets": nb_lsh},
+        _cached_stage(MinHasher, n_buckets=nb_lsh),
         batch_format="pyarrow",
         batch_size=256,  # (k × batch_shingles) hash matrix stays ~100 MB
-        concurrency=(1, 16),
     )
     cands = bands.groupby("bucket").map_groups(
         _candidate_pairs, batch_format="pandas"
@@ -616,7 +667,7 @@ class SimHasher:
 def q_doc_simhash(sf_dir: str):
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=256, concurrency=(1, 16)
+        _cached_stage(SimHasher), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -650,18 +701,52 @@ def q_doc_simhash_pairs(sf_dir: str):
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, sub in g.groupby(["band_id", "band_val"], sort=False):
-            rows = sorted(set(zip(sub["doc_id"], sub["simhash"])))
-            if len(rows) > MAX_BUCKET:
-                continue
-            for i, (a, ha) in enumerate(rows):
-                for b, hb in rows[i + 1 :]:
-                    d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
-                    if d <= SIMHASH_MAX_HAMMING:
-                        out.append((a, b, d))
-        return pd.DataFrame(sorted(set(out)), columns=["doc_a", "doc_b", "hamming"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        """Vectorized like _candidate_pairs: lexsorted boundary masks over
+        the (band_id, band_val) cells, pair explosion only for cells with
+        ≥2 docs, hamming via bytewise popcount. Output identical to the
+        per-cell Python loops (sorted unique (a,b,hamming) triples)."""
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        bi = g["band_id"].to_numpy()
+        bv = g["band_val"].to_numpy()
+        di = g["doc_id"].to_numpy()
+        hs = np.array([int(x, 16) for x in g["simhash"]], dtype=np.uint64)
+        order = np.lexsort((di, bv, bi))
+        bi, bv, di, hs = bi[order], bv[order], di[order], hs[order]
+        keep = np.ones(len(bi), dtype=bool)
+        keep[1:] = (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1]) | (di[1:] != di[:-1])
+        bi, bv, di, hs = bi[keep], bv[keep], di[keep], hs[keep]
+        new_cell = np.ones(len(bi), dtype=bool)
+        new_cell[1:] = (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])
+        starts = np.nonzero(new_cell)[0]
+        ends = np.append(starts[1:], len(bi))
+        sizes = ends - starts
+        sel = (sizes > 1) & (sizes <= MAX_BUCKET)
+        ia_all, ib_all = [], []
+        for s, e in zip(starts[sel], ends[sel]):
+            ia, ib = np.triu_indices(e - s, k=1)
+            ia_all.append(ia + s)
+            ib_all.append(ib + s)
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        x = (hs[ia] ^ hs[ib]).view(np.uint8).reshape(-1, 8)
+        d = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        m = d <= SIMHASH_MAX_HAMMING
+        trips = np.stack(
+            [di[ia[m]].astype(np.int64), di[ib[m]].astype(np.int64), d[m]], axis=1
+        )
+        trips = np.unique(trips, axis=0)
+        return pd.DataFrame(
+            {"doc_a": trips[:, 0], "doc_b": trips[:, 1], "hamming": trips[:, 2]}
         )
 
     cand = (
@@ -775,7 +860,7 @@ class RollingChunker:
 
 def q_doc_rolling_fingerprint(sf_dir: str):
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(RollingChunker, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(_cached_stage(RollingChunker), batch_format="pyarrow")
 
 
 QUERIES["q_doc_rolling_fingerprint"] = q_doc_rolling_fingerprint
