@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Mean, Sum
 
-from .util import agg_to_table, epoch_seconds, read, round_col
+from .util import agg_to_table, key_bucketed, read, round_col
 
 # ---------------------------------------------------------------------------
 # ROLLUP (grouping sets): orders by (priority, year), (priority), ()
@@ -180,20 +180,27 @@ FROM lineitem
 
 
 def q_orders_running_total(sf_dir: str):
+    # key-BUCKETED window evaluation: one Ray group per hash bucket of
+    # customers (not per customer — 15k tiny pandas groups cost ~10 s of
+    # per-group Python overhead at sf0.1); inside a bucket the cumsum is
+    # one vectorized sort + groupby-cumsum over all its customers
     ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        cents = np.round(g["o_totalprice"].to_numpy() * 100).astype("int64")
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = pd.Series(
+            np.round(g["o_totalprice"].to_numpy() * 100).astype("int64"),
+            index=g.index,
+        )
         return pd.DataFrame(
             {
                 "o_custkey": g["o_custkey"].to_numpy(),
                 "o_orderkey": g["o_orderkey"].to_numpy(),
-                "running_cents": cents.cumsum(),
+                "running_cents": cents.groupby(g["o_custkey"]).cumsum().to_numpy(),
             }
         )
 
-    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return key_bucketed(ds, "o_custkey", running)
 
 
 RUNNING_TOTAL_SQL = """
@@ -213,9 +220,10 @@ def q_events_lag_delta(sf_dir: str):
     ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def deltas(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # vectorized LAG over every user in the bucket at once
+        g = g.sort_values(["user_id", "ts", "event_id"])
         ts_s = g["ts"].astype("datetime64[us]").astype("int64") // 10**6
-        prev = ts_s.shift(1)
+        prev = ts_s.groupby(g["user_id"]).shift(1)
         out = pd.DataFrame(
             {
                 "user_id": g["user_id"].to_numpy(),
@@ -226,7 +234,7 @@ def q_events_lag_delta(sf_dir: str):
         out["delta_s"] = out["delta_s"].astype("int64")
         return out
 
-    return ds.groupby("user_id").map_groups(deltas, batch_format="pandas")
+    return key_bucketed(ds, "user_id", deltas)
 
 
 LAG_DELTA_SQL = """

@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Mean, Sum
 
-from .util import epoch_seconds, read, round_col
+from .util import epoch_seconds, key_bucketed, read, round_col
 
 SESSION_GAP_S = 1800  # 30 minutes
 
@@ -76,21 +76,24 @@ FROM events GROUP BY user_id
 
 
 def q_events_sessionize(sf_dir: str):
+    # user-BUCKETED (see util.key_bucketed): one Ray group per hash
+    # bucket, vectorized gap detection across every user in the bucket
     ds = read(sf_dir, "events", columns=["user_id", "ts"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds()
-        n_sessions = int((gaps.isna() | (gaps > SESSION_GAP_S)).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
-            }
+        g = g.sort_values(["user_id", "ts"])
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        new_session = (gaps.isna() | (gaps > SESSION_GAP_S)).astype("int64")
+        out = (
+            g.assign(__new=new_session)
+            .groupby("user_id", as_index=False)
+            .agg(n_sessions=("__new", "sum"), n_events=("__new", "size"))
         )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return key_bucketed(ds, "user_id", sessions)
 
 
 SESSIONIZE_SQL = f"""
@@ -153,25 +156,31 @@ def q_events_asof(sf_dir: str):
     ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # bucket-vectorized: ONE merge_asof(by="user_id") covers every
+        # user in the bucket (globally ts-sorted, per-user matching)
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "purchase_ts": pd.Series(dtype="int64"),
+                "last_view_ts": pd.Series(dtype="int64"),
+            }
+        )
+        g = g.sort_values(["ts", "event_id"], kind="stable")
         buys = g[g["event_type"] == "purchase"]
         views = g[g["event_type"] == "view"]
         if buys.empty or views.empty:
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series(dtype="int64"),
-                    "user_id": pd.Series(dtype="int64"),
-                    "purchase_ts": pd.Series(dtype="int64"),
-                    "last_view_ts": pd.Series(dtype="int64"),
-                }
-            )
+            return empty
         m = pd.merge_asof(
             buys[["event_id", "user_id", "ts"]],
-            views[["ts"]].rename(columns={"ts": "view_ts"}),
+            views[["user_id", "ts"]].rename(columns={"ts": "view_ts"}),
             left_on="ts",
             right_on="view_ts",
+            by="user_id",
             direction="backward",
         ).dropna(subset=["view_ts"])
+        if m.empty:
+            return empty
         return pd.DataFrame(
             {
                 "event_id": m["event_id"].astype("int64"),
@@ -186,7 +195,7 @@ def q_events_asof(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return key_bucketed(ds, "user_id", asof)
 
 
 ASOF_SQL = """
@@ -200,8 +209,74 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+FUNNEL = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 43_200  # each next stage within 12 h of the previous
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered-sequence funnel (view → click → purchase, each next stage
+    strictly after AND within FUNNEL_WINDOW_S of the previous one):
+    per-user stage reached, then a tiny stage rollup. Per-user logic is
+    bucket-vectorized (util.key_bucketed) — no global sort, no per-user
+    Ray groups; strict-inequality chaining makes the result independent
+    of how equal timestamps are ordered."""
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def stages(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized strict chaining across every user in the bucket:
+        # t_k = per-user min ts of stage-k events in (t_{k-1}, t_{k-1}+W]
+        users = pd.Series(sorted(g["user_id"].unique()), name="user_id")
+        prev = None  # Series: user_id -> ts of previous stage
+        stage = pd.Series(0, index=users, dtype="int64")
+        win = pd.Timedelta(seconds=FUNNEL_WINDOW_S)
+        for k, et in enumerate(FUNNEL, start=1):
+            sel = g[g["event_type"] == et]
+            if prev is not None:
+                bound = sel["user_id"].map(prev)
+                sel = sel[
+                    bound.notna() & (sel["ts"] > bound) & (sel["ts"] <= bound + win)
+                ]
+            if sel.empty:
+                break
+            t_k = sel.groupby("user_id")["ts"].min()
+            stage.loc[t_k.index] = k
+            prev = t_k
+        return pd.DataFrame({"user_id": users.to_numpy(), "stage": stage.to_numpy()})
+
+    per_user = key_bucketed(ds, "user_id", stages)
+    return per_user.groupby("stage").aggregate(Count(alias_name="n_users"))
+
+
+FUNNEL_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND epoch(e.ts - s1.t1) <= {FUNNEL_WINDOW_S}
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND epoch(e.ts - s2.t2) <= {FUNNEL_WINDOW_S}
+  GROUP BY e.user_id
+)
+SELECT CASE WHEN t3 IS NOT NULL THEN 3
+            WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END AS stage,
+       count(*) AS n_users
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "q_events_asof": q_events_asof,
+    "q_events_funnel": q_events_funnel,
     "q_events_hourly": q_events_hourly,
     "q_events_user_stats": q_events_user_stats,
     "q_events_sessionize": q_events_sessionize,
@@ -210,6 +285,7 @@ QUERIES = {
 
 ORACLE = {
     "q_events_asof": ASOF_SQL,
+    "q_events_funnel": FUNNEL_SQL,
     "q_events_hourly": HOURLY_SQL,
     "q_events_user_stats": USER_STATS_SQL,
     "q_events_sessionize": SESSIONIZE_SQL,

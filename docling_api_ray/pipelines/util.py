@@ -48,3 +48,31 @@ def agg_to_table(d: dict, order: list[str]) -> pa.Table:
 def epoch_seconds(ts_col: pa.ChunkedArray) -> pa.ChunkedArray:
     """timestamp[us] → epoch seconds (int64)."""
     return pc.divide(pc.cast(ts_col, pa.int64()), 1_000_000)
+
+
+def key_bucketed(
+    ds: rd.Dataset, key: str, fn, n_buckets: int = 64
+) -> rd.Dataset:
+    """Per-key windowed computation without per-key Ray groups: hash the
+    int64 key into `n_buckets`, ONE groupby(bucket) shuffle, and run `fn`
+    once per bucket over ALL its keys (fn must be vectorized across keys
+    — sort + pandas groupby inside). A bucket holds every row of its
+    keys, so any per-key logic is exact. Replaces
+    `groupby(key).map_groups(per_key_fn)`, whose per-tiny-group Python
+    overhead dominates when keys number in the tens of thousands
+    (measured ~10 s for 15k customers at sf0.1 vs <1 s bucketed).
+    At 100 TB the bucket count bounds group size via the same adaptive
+    logic as the joins — pass a larger n_buckets for bigger tables."""
+    from .join import bucket_col
+
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column("__kb", bucket_col(t[key], n_buckets))
+
+    def run(g: "pd.DataFrame"):
+        return fn(g.drop(columns="__kb"))
+
+    return (
+        ds.map_batches(add, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(run, batch_format="pandas")
+    )
