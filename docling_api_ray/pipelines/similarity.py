@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-from ray.data.aggregate import Count, Mean
+from ray.data.aggregate import Count, Mean, Sum
 
 from .util import read, read_small, round_col
 
@@ -404,3 +404,41 @@ SELECT query_id, label, count(*) AS n_votes FROM topk GROUP BY 1, 2
 
 QUERIES["q_knn_label_votes"] = q_knn_label_votes
 ORACLE["q_knn_label_votes"] = KNN_VOTES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Embedding k-means clustering (curation primitive): centroids trained on a
+# BOUNDED driver-side sample (seeded Lloyd — same trainer as the IVF
+# index), assignment fully distributed, sizes via partial-count groupby.
+# Deterministic given the seed → rows-only oracle + pytest invariants.
+
+
+def q_embedding_clusters(sf_dir: str):
+    cents = _train_centroids(sf_dir)
+    ref = ray.put(cents)
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        emb = _normalize(_stack(batch["embedding"]))
+        cluster = (
+            np.argmax(emb @ cs.T, axis=1).astype(np.int32)
+            if len(batch)
+            else np.array([], dtype=np.int32)
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(cluster, pa.int32()),
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("one", alias_name="n_members"))
+        .select_columns(["cluster", "n_members"])
+    )
+
+
+QUERIES["q_embedding_clusters"] = q_embedding_clusters

@@ -45,3 +45,17 @@ def test_hll_query_vs_exact(ray_session):
         f"SELECT count(DISTINCT o_custkey) FROM read_parquet('{SF}/orders.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) / max(exact, 1) < 0.05
+
+
+def test_embedding_clusters_partition_and_determinism(ray_session):
+    import duckdb
+
+    from docling_api_ray.pipelines.similarity import q_embedding_clusters
+
+    a = q_embedding_clusters(SF).to_pandas().sort_values("cluster").reset_index(drop=True)
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert a["n_members"].sum() == n  # every vector in exactly one cluster
+    b = q_embedding_clusters(SF).to_pandas().sort_values("cluster").reset_index(drop=True)
+    assert a.equals(b)  # seeded training → deterministic assignment
