@@ -176,6 +176,92 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# GROUPED exact quantiles — same value-histogram pattern, one histogram
+# per group key; selection is vectorized over the tiny (flag × value)
+# count table
+
+
+def q_quantity_quantiles_by_flag(sf_dir: str):
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    hist = ds.groupby(["l_returnflag", "l_quantity"]).aggregate(Count(alias_name="n"))
+
+    def select(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["l_returnflag", "l_quantity"])
+        flags, p50s, p90s = [], [], []
+        for flag, g in df.groupby("l_returnflag"):
+            cum = g["n"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = g["l_quantity"].to_numpy()
+            flags.append(flag)
+            p50s.append(float(vals[np.searchsorted(cum, max(1, math.ceil(0.5 * n)))]))
+            p90s.append(float(vals[np.searchsorted(cum, max(1, math.ceil(0.9 * n)))]))
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "p50_qty": pa.array(p50s, pa.float64()),
+                "p90_qty": pa.array(p90s, pa.float64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(select, batch_format="pyarrow")
+
+
+GROUPED_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5) AS p50_qty,
+       quantile_disc(l_quantity, 0.9) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot-style conditional aggregation: order totals per year, one column
+# per priority class (CASE-mask partial sums inside map_batches — the
+# pivot never shuffles more than (year × 1) rows per partial)
+
+PIVOT_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PIV_COLS = {p: "total_p" + p[0] for p in PIVOT_PRIORITIES}
+
+
+def q_orders_pivot(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cols = {"year": pc.strftime(t["o_orderdate"], format="%Y")}
+        for p, cname in _PIV_COLS.items():
+            mask = pc.equal(t["o_orderpriority"], p)
+            cols[cname] = pc.if_else(mask, t["o_totalprice"], 0.0)
+        return pa.table(cols)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(*[Sum(c, alias_name=c) for c in _PIV_COLS.values()])
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        for c in _PIV_COLS.values():
+            t = round_col(t, c, 2)
+        return t
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+PIVOT_SQL = """
+SELECT strftime(o_orderdate, '%Y') AS year,
+       {}
+FROM orders GROUP BY 1
+""".format(
+    ",\n       ".join(
+        "round(sum(CASE WHEN o_orderpriority = '{}' THEN o_totalprice ELSE 0 END), 2) AS {}".format(
+            p, c
+        )
+        for p, c in _PIV_COLS.items()
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Window: per-customer running order total (integer cents → exact)
 
 
@@ -331,6 +417,8 @@ QUERIES = {
     "q_orders_rollup": q_orders_rollup,
     "q_orders_distinct_custkeys_hll": q_orders_distinct_custkeys_hll,
     "q_lineitem_quantiles": q_lineitem_quantiles,
+    "q_quantity_quantiles_by_flag": q_quantity_quantiles_by_flag,
+    "q_orders_pivot": q_orders_pivot,
     "q_lineitem_corr": q_lineitem_corr,
     "q_orders_running_total": q_orders_running_total,
     "q_events_lag_delta": q_events_lag_delta,
@@ -339,6 +427,8 @@ QUERIES = {
 ORACLE = {
     "q_orders_rollup": ROLLUP_SQL,
     "q_lineitem_quantiles": QUANTILES_SQL,
+    "q_quantity_quantiles_by_flag": GROUPED_QUANTILES_SQL,
+    "q_orders_pivot": PIVOT_SQL,
     "q_lineitem_corr": CORR_SQL,
     "q_orders_running_total": RUNNING_TOTAL_SQL,
     "q_events_lag_delta": LAG_DELTA_SQL,

@@ -39,6 +39,35 @@ def write_table(ds: rd.Dataset, path: str) -> None:
         ds.write_parquet(path)
 
 
+_FORMAT_READERS = {
+    "parquet": rd.read_parquet,
+    "csv": rd.read_csv,
+    "json": rd.read_json,    # newline-delimited JSON
+    "jsonl": rd.read_json,
+}
+
+
+def read_table_auto(path_or_paths, columns=None) -> rd.Dataset:
+    """Format-dispatched table read (csv / jsonl / parquet / lance by
+    extension) — the batch analog of the reference's extension-keyed
+    format routing (`modal_docling.py:393`). Column pruning is pushed to
+    the reader where the format supports it (parquet/lance); csv/json
+    prune post-read."""
+    import os
+
+    p = path_or_paths[0] if isinstance(path_or_paths, (list, tuple)) else path_or_paths
+    ext = os.path.splitext(p)[1].lower().lstrip(".")
+    if ext == "lance" or (not ext and HAVE_LANCE):  # pragma: no cover
+        return rd.read_lance(path_or_paths, columns=columns)
+    reader = _FORMAT_READERS.get(ext, rd.read_parquet)
+    if reader is rd.read_parquet:
+        return reader(path_or_paths, columns=columns)
+    ds = reader(path_or_paths)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def read_binary_documents(paths, kind: str = "pdf_text") -> rd.Dataset:
     """Loose-file ingestion (S3): files → one-span documents.
 

@@ -40,3 +40,26 @@ def test_decode_base64_column():
     assert out["payload"][0].as_py() == payload
     assert out["payload"][1].as_py() is None
     assert out.schema.field("payload").type == pa.large_binary()
+
+
+def test_read_table_auto_formats(ray_session, tmp_path):
+    import pandas as pd
+
+    from docling_api_ray.sources.io import read_table_auto
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    csv = tmp_path / "t.csv"
+    df.to_csv(csv, index=False)
+    jsonl = tmp_path / "t.jsonl"
+    df.to_json(jsonl, orient="records", lines=True)
+    pq = tmp_path / "t.parquet"
+    df.to_parquet(pq)
+    for p in (csv, jsonl, pq):
+        got = (
+            read_table_auto(str(p), columns=["a", "b"])
+            .to_pandas()
+            .sort_values("a")
+            .reset_index(drop=True)
+        )
+        assert got["a"].tolist() == [1, 2, 3], p
+        assert got["b"].tolist() == ["x", "y", "z"], p
