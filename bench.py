@@ -68,6 +68,9 @@ def consume(res) -> int:
     return n
 
 
+FACTOR = int(os.environ.get("GRAFT_FACTOR", "16"))
+
+
 def run_headline() -> tuple[float, int]:
     import shutil
 
@@ -75,8 +78,7 @@ def run_headline() -> tuple[float, int]:
     from docling_api_ray.pipelines.extraction import build_extraction
     from docling_api_ray.pipelines.extraction_queries import corpus_for
 
-    path = corpus_for(SF_DIR, factor=16)  # cached, not timed; 16x docs so
-    # compute dominates fixed overhead in the scaling comparison
+    path = corpus_for(SF_DIR, factor=FACTOR)  # cached, not timed
     # warm the page cache so we measure compute+shuffle, not first disk read
     for root, _, files in os.walk(path):
         for f in files:
@@ -97,12 +99,12 @@ def run_headline() -> tuple[float, int]:
     warm_paths = sorted(glob.glob(os.path.join(path, "*.parquet")))[:4]
     shutil.rmtree("/tmp/bench_warm", ignore_errors=True)
     build_extraction(warm_paths, cfg).write_parquet("/tmp/bench_warm")
-    # best-of-2 trials: this sandbox shows episodic HOST-level contention
-    # (identical jobs measured 25.6s / 61s / 98s within one hour — ~9%
-    # average CPU steal since boot); min-of-N is the standard estimator
-    # for the machine's actual capability under external noise
+    # best-of-N trials (default 2): this sandbox shows episodic HOST-level
+    # contention (identical jobs measured 25.6s / 61s / 98s within one
+    # hour — ~9% average CPU steal since boot); min-of-N is the standard
+    # estimator for the machine's actual capability under external noise
     sec = float("inf")
-    for _ in range(2):
+    for _ in range(int(os.environ.get("GRAFT_TRIALS", "2"))):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         ds = build_extraction(path, cfg)
@@ -160,7 +162,18 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # GRAFT_SCALE_FACTOR can raise the corpus size for a strong-scaling
+        # measurement (per-level compute ≫ the ~5 s fixed barrier latency
+        # of the giant branch — the regime the N-vs-4N-node criterion
+        # describes). Default stays at the headline factor: this host's
+        # noise comes in multi-minute storm episodes, so short trials can
+        # land in quiet windows while long trials are guaranteed to span a
+        # storm — more short trials beat fewer long ones here.
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_FACTOR=os.environ.get("GRAFT_SCALE_FACTOR", str(FACTOR)),
+        )
         # taskset pins the WHOLE process tree (raylet + workers) to ncpu
         # physical cores — num_cpus alone is only a scheduler token; worker
         # threads (Arrow decode etc.) would otherwise spill onto all cores
@@ -177,7 +190,7 @@ def run_scaling() -> dict:
             try:
                 out = subprocess.run(
                     cmd, env=env, capture_output=True, text=True, check=True,
-                    timeout=560,
+                    timeout=1200,
                 ).stdout
                 return json.loads(out.strip().splitlines()[-1])
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError):

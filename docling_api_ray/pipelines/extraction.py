@@ -53,18 +53,40 @@ def _has_n_spans(paths) -> bool:
         return False
 
 
-def _read_blocks() -> int:
-    # enough read tasks that block production never serializes the
-    # downstream extract stage (a file count ≪ CPUs would otherwise cap
-    # read parallelism at the file count)
+def _read_blocks(paths) -> int:
+    # Two goals: (1) enough read tasks that block production never
+    # serializes the downstream extract stage (a file count ≪ CPUs would
+    # cap read parallelism at the file count); (2) SMALL read tasks — at
+    # most ~one input file each. A read task is a streaming generator: if
+    # it covers many fragments it blocks MID-TASK on output backpressure
+    # while holding its CPU, and with op resource reservation disabled a
+    # low-CPU cluster can reach a state where every CPU holds a blocked
+    # read generator and the extract stage that would drain them can
+    # never schedule — a hard deadlock (reproduced 3/3 at 4 CPUs with
+    # 15-fragment read tasks; never with 1-fragment tasks). Tasks that
+    # finish quickly make the scheduler rotate CPUs between producer and
+    # consumer instead of wedging.
+    import os
+
     import ray
 
-    return int(ray.cluster_resources().get("CPU", 8)) * 2
+    n_files = 1
+    p = paths if isinstance(paths, (list, tuple)) else [paths]
+    try:
+        n_files = sum(
+            len([f for f in os.listdir(x) if f.endswith(".parquet")])
+            if os.path.isdir(x)
+            else 1
+            for x in p
+        )
+    except OSError:
+        pass
+    return max(int(ray.cluster_resources().get("CPU", 8)) * 2, n_files)
 
 
 def _read(paths, threshold: int, giant: bool, pushdown: bool) -> rd.Dataset:
     cols = ["doc_id", "spans"]
-    nb = _read_blocks()
+    nb = _read_blocks(paths)
     if pushdown:
         # row-group pruning at the read: parquet stats on n_spans
         flt = (
