@@ -223,26 +223,56 @@ def bucketed_semi_anti(
     return both.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
 
 
-def bucketed_except_keys(
-    tagged_keys_ds: rd.Dataset, key: str, n_buckets: int
+def _bucketed_set_op(
+    tagged_keys_ds: rd.Dataset, key: str, n_buckets: int, op: str
 ) -> rd.Dataset:
-    """Distributed EXCEPT over a pre-tagged key stream: rows have columns
-    (`key`, `__side` int8) where side 0 = the keep-set and side 1 = the
-    subtract-set. Returns distinct side-0 keys absent from side 1, as a
-    one-column Dataset. One shuffle."""
+    """Distributed set operation over a pre-tagged key stream: rows have
+    columns (`key`, `__side` int8). ONE groupby(bucket) shuffle; each
+    bucket holds every occurrence of its keys, so the set op is exact
+    in-bucket. Returns distinct keys as a one-column Dataset.
+
+    op='except'    → side-0 keys absent from side 1
+    op='intersect' → keys present on BOTH sides
+    op='union'     → distinct keys from either side
+    """
 
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("__bucket", bucket_col(t[key], n_buckets))
 
     def resolve(g: pa.Table) -> pa.Table:
         side = g["__side"]
-        keep = pc.unique(_value_set(g.filter(pc.equal(side, 0))[key]))
-        sub = _value_set(g.filter(pc.equal(side, 1))[key])
-        mask = pc.invert(pc.is_in(keep, value_set=sub))
-        return pa.table({key: keep.filter(mask)})
+        if op == "union":
+            return pa.table({key: pc.unique(_value_set(g[key]))})
+        left = pc.unique(_value_set(g.filter(pc.equal(side, 0))[key]))
+        right = _value_set(g.filter(pc.equal(side, 1))[key])
+        mask = pc.is_in(left, value_set=right)
+        if op == "except":
+            mask = pc.invert(mask)
+        return pa.table({key: left.filter(mask)})
 
     return (
         tagged_keys_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def bucketed_except_keys(
+    tagged_keys_ds: rd.Dataset, key: str, n_buckets: int
+) -> rd.Dataset:
+    """Distributed EXCEPT (see _bucketed_set_op)."""
+    return _bucketed_set_op(tagged_keys_ds, key, n_buckets, "except")
+
+
+def bucketed_intersect_keys(
+    tagged_keys_ds: rd.Dataset, key: str, n_buckets: int
+) -> rd.Dataset:
+    """Distributed INTERSECT (see _bucketed_set_op)."""
+    return _bucketed_set_op(tagged_keys_ds, key, n_buckets, "intersect")
+
+
+def bucketed_union_keys(
+    tagged_keys_ds: rd.Dataset, key: str, n_buckets: int
+) -> rd.Dataset:
+    """Distributed UNION DISTINCT (see _bucketed_set_op)."""
+    return _bucketed_set_op(tagged_keys_ds, key, n_buckets, "union")

@@ -914,3 +914,79 @@ GROUP BY c_mktsegment
 
 QUERIES["q_cust_order_counts"] = q_cust_order_counts
 ORACLE["q_cust_order_counts"] = LEFT_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / UNION DISTINCT set ops (completing the trio with EXCEPT):
+# customers that placed BOTH an URGENT and a LOW order; count per segment.
+def _tagged_priority_keys(sf_dir: str):
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        l = t.filter(pc.equal(t["o_orderpriority"], "5-LOW"))["o_custkey"]
+        return pa.table(
+            {
+                "key": pa.concat_arrays(u.chunks + l.chunks),
+                "__side": pa.array([0] * len(u) + [1] * len(l), pa.int8()),
+            }
+        )
+
+    return orders.map_batches(tag, batch_format="pyarrow")
+
+
+def q_intersect_customers(sf_dir: str):
+    from .join import bucketed_intersect_keys
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+    keys = bucketed_intersect_keys(_tagged_priority_keys(sf_dir), "key", nb)
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return (
+        bucketed_semi_anti(
+            cust,
+            "c_custkey",
+            keys,
+            "key",
+            nb,
+            fact_schema=pa.schema(
+                [("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]
+            ),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_both"))
+    )
+
+
+INTERSECT_SQL = """
+SELECT c_mktsegment, count(*) AS n_both
+FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+GROUP BY c_mktsegment
+"""
+
+
+def _q_union_distinct_wrapped(sf_dir: str):
+    # Dataset.count() (exact row count of the distinct-key stream); the
+    # Count() aggregate returns 0 on map_groups-produced datasets in Ray
+    # 2.49, so the scalar is taken via the count metadata path instead
+    from .join import bucketed_union_keys
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders"))
+    keys = bucketed_union_keys(_tagged_priority_keys(sf_dir), "key", nb)
+    return pa.Table.from_pylist([{"n_distinct_either": keys.count()}])
+
+
+UNION_DISTINCT_SQL = """
+SELECT count(*) AS n_distinct_either FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+"""
+
+QUERIES["q_intersect_customers"] = q_intersect_customers
+ORACLE["q_intersect_customers"] = INTERSECT_SQL
+QUERIES["q_union_distinct_customers"] = _q_union_distinct_wrapped
+ORACLE["q_union_distinct_customers"] = UNION_DISTINCT_SQL
