@@ -143,10 +143,16 @@ def run_bench() -> dict:
     headline_sec, rows = run_headline()
     queries = all_queries()
     q_times = {}
+    # best-of-N per query too: the host's storm episodes hit single-shot
+    # timings hard (q1 measured 16.9 s mid-storm vs 4.4 s typical)
+    q_trials = int(os.environ.get("GRAFT_QUERY_TRIALS", "2"))
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        consume(queries[name](SF_DIR))
-        q_times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(q_trials):
+            t0 = time.time()
+            consume(queries[name](SF_DIR))
+            best = min(best, time.time() - t0)
+        q_times[name] = round(best, 3)
     ray.shutdown()
     return {
         "metric": "extraction_wall_sec",
