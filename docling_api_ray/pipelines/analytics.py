@@ -413,8 +413,99 @@ def q_orders_distinct_custkeys_hll(sf_dir: str):
     return merged.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# DENSE_RANK with ties: customers ranked inside their nation by
+# thousand-dollar balance bucket, keep rank ≤ 3 (all tied rows kept — the
+# semantics row_number/top-k can't express). Window evaluation is
+# key-bucketed like the running total: one shuffle, ranks vectorized per
+# bucket across every nation it holds.
+
+
+def q_cust_dense_rank(sf_dir: str):
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        bal_k = np.floor(g["c_acctbal"].to_numpy() / 1000.0).astype("int64")
+        out = pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(),
+                "c_nationkey": g["c_nationkey"].to_numpy(),
+                "bal_k": bal_k,
+            }
+        )
+        out["rnk"] = (
+            out.groupby("c_nationkey")["bal_k"]
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        return out[out["rnk"] <= 3]
+
+    return key_bucketed(ds, "c_nationkey", ranks)
+
+
+DENSE_RANK_SQL = """
+SELECT c_custkey, c_nationkey,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+       CAST(dense_rank() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC
+       ) AS BIGINT) AS rnk
+FROM customer
+QUALIFY rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# MODE (most frequent value) per group: the argmax-over-counts pattern.
+# One fact-table shuffle produces (month, priority, n); the argmax runs
+# over that output-sized table (|months| × |priorities| rows), never the
+# fact table. Ties break to the lexically smallest priority so the result
+# is engine-order-independent.
+
+
+def q_orders_priority_mode(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    counts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["month", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "o_orderpriority"], ascending=[False, True])
+        top = g.head(1).rename(columns={"o_orderpriority": "mode_priority"})
+        return top[["month", "mode_priority", "n"]]
+
+    return counts.groupby("month").map_groups(pick, batch_format="pandas")
+
+
+PRIORITY_MODE_SQL = """
+SELECT month, mode_priority, n FROM (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         o_orderpriority AS mode_priority,
+         count(*) AS n,
+         row_number() OVER (
+             PARTITION BY strftime(o_orderdate, '%Y-%m')
+             ORDER BY count(*) DESC, o_orderpriority
+         ) AS rn
+  FROM orders GROUP BY 1, 2
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q_orders_rollup": q_orders_rollup,
+    "q_cust_dense_rank": q_cust_dense_rank,
+    "q_orders_priority_mode": q_orders_priority_mode,
     "q_orders_distinct_custkeys_hll": q_orders_distinct_custkeys_hll,
     "q_lineitem_quantiles": q_lineitem_quantiles,
     "q_quantity_quantiles_by_flag": q_quantity_quantiles_by_flag,
@@ -426,6 +517,8 @@ QUERIES = {
 
 ORACLE = {
     "q_orders_rollup": ROLLUP_SQL,
+    "q_cust_dense_rank": DENSE_RANK_SQL,
+    "q_orders_priority_mode": PRIORITY_MODE_SQL,
     "q_lineitem_quantiles": QUANTILES_SQL,
     "q_quantity_quantiles_by_flag": GROUPED_QUANTILES_SQL,
     "q_orders_pivot": PIVOT_SQL,

@@ -274,6 +274,90 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact distributed COUNT DISTINCT: daily active users. One fact-table
+# shuffle keyed on the (day, user) pair dedupes AND carries the per-pair
+# event counts; the second groupby runs over the pair-sized result
+# (|days| × |active users| rows, ≪ fact table). The HLL sketch
+# (analytics.q_orders_distinct_custkeys_hll) is the approximate cousin;
+# this is the exact form a 100 TB pipeline uses when the distinct key
+# domain itself is bounded (users, not events).
+
+
+def q_events_daily_distinct(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.divide(epoch_seconds(t["ts"]), 86400), "user_id": t["user_id"]}
+        )
+
+    pairs = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return pairs.groupby("day").aggregate(
+        Count(alias_name="n_users"), Sum("n", alias_name="n_events")
+    )
+
+
+DAILY_DISTINCT_SQL = """
+SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day retention: users active on day d AND d+1 — the canonical
+# distributed SELF-join. Scale shape: the (user, day) activity set is
+# deduped INSIDE the user-bucketed shuffle (a bucket holds every event of
+# its users, so next-active-day is exact per bucket via one vectorized
+# shift) — the raw fact table shuffles exactly once and the self-join
+# never materializes a second copy of the input.
+
+
+def q_events_retention(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "day": pc.divide(epoch_seconds(t["ts"]), 86400)}
+        )
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"])
+        nxt = p.groupby("user_id")["day"].shift(-1)
+        return pd.DataFrame(
+            {
+                "day": p["day"].to_numpy(),
+                "retained": (nxt == p["day"] + 1).to_numpy().astype("int64"),
+            }
+        )
+
+    per_day = key_bucketed(ds.map_batches(prep, batch_format="pyarrow"), "user_id", flag)
+    return per_day.groupby("day").aggregate(
+        Count(alias_name="n_active"), Sum("retained", alias_name="n_retained")
+    )
+
+
+RETENTION_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day FROM events
+), n AS (
+  SELECT user_id, day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+  FROM p
+)
+SELECT day, count(*) AS n_active,
+       CAST(coalesce(sum(CASE WHEN nxt = day + 1 THEN 1 END), 0) AS BIGINT)
+         AS n_retained
+FROM n GROUP BY day
+"""
+
+
 QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_funnel": q_events_funnel,
@@ -281,6 +365,8 @@ QUERIES = {
     "q_events_user_stats": q_events_user_stats,
     "q_events_sessionize": q_events_sessionize,
     "q_events_sliding": q_events_sliding,
+    "q_events_daily_distinct": q_events_daily_distinct,
+    "q_events_retention": q_events_retention,
 }
 
 ORACLE = {
@@ -290,4 +376,6 @@ ORACLE = {
     "q_events_user_stats": USER_STATS_SQL,
     "q_events_sessionize": SESSIONIZE_SQL,
     "q_events_sliding": SLIDING_SQL,
+    "q_events_daily_distinct": DAILY_DISTINCT_SQL,
+    "q_events_retention": RETENTION_SQL,
 }

@@ -894,6 +894,37 @@ QUERIES["q_doc_sample"] = q_doc_sample
 ORACLE["q_doc_sample"] = SAMPLE_SQL
 
 
+def q_doc_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling: per-language rates (25% of 'en',
+    6.25% of everything else — the downsample-the-majority-class move a
+    training-data pipeline makes). Same partition-invariant
+    hash-of-key filter as q_doc_sample, so the sample is stable under any
+    re-partitioning and needs no shuffle, count, or driver state."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def samp(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        keep = [
+            hashlib.md5(str(d).encode()).hexdigest()[0]
+            in (("0", "1", "2", "3") if lang == "en" else ("0",))
+            for d, lang in zip(t["doc_id"].to_pylist(), langs)
+        ]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CASE WHEN lang = 'en'
+       THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+       ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' END
+"""
+
+QUERIES["q_doc_stratified_sample"] = q_doc_stratified_sample
+ORACLE["q_doc_stratified_sample"] = STRATIFIED_SAMPLE_SQL
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document. Scale shape: the (doc, term, tf) rows are
 # produced with in-batch aggregation (one Counter pass per doc — the
