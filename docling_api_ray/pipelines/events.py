@@ -358,6 +358,50 @@ FROM n GROUP BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Last event per user (arg_max / max_by): one key-bucketed shuffle, then a
+# vectorized sort + keep-last inside each bucket. Ordering uses FULL
+# microsecond timestamps with event_id as the final tie-break so the
+# result is engine-order-independent; the emitted last_ts_s is truncated
+# to seconds only after the winner is chosen.
+
+
+def q_events_last_event(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+            }
+        )
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        out = g.drop_duplicates("user_id", keep="last")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(),
+                "last_type": out["event_type"].to_numpy(),
+                "last_ts_s": out["ts_us"].to_numpy() // 1_000_000,
+            }
+        )
+
+    return key_bucketed(ds.map_batches(prep, batch_format="pyarrow"), "user_id", last)
+
+
+LAST_EVENT_SQL = """
+SELECT user_id, event_type AS last_type, epoch_us(ts) // 1000000 AS last_ts_s
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_funnel": q_events_funnel,
@@ -367,6 +411,7 @@ QUERIES = {
     "q_events_sliding": q_events_sliding,
     "q_events_daily_distinct": q_events_daily_distinct,
     "q_events_retention": q_events_retention,
+    "q_events_last_event": q_events_last_event,
 }
 
 ORACLE = {
@@ -378,4 +423,5 @@ ORACLE = {
     "q_events_sliding": SLIDING_SQL,
     "q_events_daily_distinct": DAILY_DISTINCT_SQL,
     "q_events_retention": RETENTION_SQL,
+    "q_events_last_event": LAST_EVENT_SQL,
 }

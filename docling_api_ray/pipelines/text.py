@@ -925,6 +925,45 @@ QUERIES["q_doc_stratified_sample"] = q_doc_stratified_sample
 ORACLE["q_doc_stratified_sample"] = STRATIFIED_SAMPLE_SQL
 
 
+def q_doc_explode_tokens(sf_dir: str):
+    """Explode (flat_map / UNNEST): one output row per token with its
+    position — the row-multiplying transform. Fully vectorized: Arrow
+    split_pattern + list_flatten produce the token column, numpy
+    repeat/arange reconstruct doc_id and position without any per-row
+    Python. Shuffle-free; output order is irrelevant (driver compares
+    sorted)."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        split = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        split = pc.split_pattern(split, " ")
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        ends = lens.cumsum()
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "token": pc.list_flatten(split),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+EXPLODE_SQL = """
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS token,
+       generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+FROM documents
+"""
+
+QUERIES["q_doc_explode_tokens"] = q_doc_explode_tokens
+ORACLE["q_doc_explode_tokens"] = EXPLODE_SQL
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document. Scale shape: the (doc, term, tf) rows are
 # produced with in-batch aggregation (one Counter pass per doc — the
