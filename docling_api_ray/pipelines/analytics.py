@@ -502,8 +502,48 @@ SELECT month, mode_priority, n FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (wide → long): the inverse of q_orders_pivot. Pure
+# per-batch reshaping — N measure columns become N stacked row groups per
+# batch via zero-copy column selection + concat; no shuffle, row count
+# multiplies by the measure count exactly as UNNEST multiplies by list
+# length.
+
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    ds = read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"] + UNPIVOT_MEASURES
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_linenumber": t["l_linenumber"],
+                    "measure": pa.array([m] * len(t), pa.string()),
+                    "value": t[m],
+                }
+            )
+            for m in UNPIVOT_MEASURES
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE value)
+"""
+
+
 QUERIES = {
     "q_orders_rollup": q_orders_rollup,
+    "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_cust_dense_rank": q_cust_dense_rank,
     "q_orders_priority_mode": q_orders_priority_mode,
     "q_orders_distinct_custkeys_hll": q_orders_distinct_custkeys_hll,
@@ -517,6 +557,7 @@ QUERIES = {
 
 ORACLE = {
     "q_orders_rollup": ROLLUP_SQL,
+    "q_lineitem_unpivot": UNPIVOT_SQL,
     "q_cust_dense_rank": DENSE_RANK_SQL,
     "q_orders_priority_mode": PRIORITY_MODE_SQL,
     "q_lineitem_quantiles": QUANTILES_SQL,
