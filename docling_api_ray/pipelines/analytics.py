@@ -126,7 +126,7 @@ QUANTILES_SQL = f"""
 WITH qd AS (
   SELECT quantile_disc(l_quantity, {list(QUANTILES)}) AS v FROM lineitem
 )
-SELECT unnest({list(QUANTILES)}) AS q, unnest(v) AS value FROM qd
+SELECT CAST(unnest({list(QUANTILES)}) AS DOUBLE) AS q, unnest(v) AS value FROM qd
 """
 
 
@@ -291,9 +291,9 @@ def q_orders_running_total(sf_dir: str):
 
 RUNNING_TOTAL_SQL = """
 SELECT o_custkey, o_orderkey,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS UNBOUNDED PRECEDING) AS running_cents
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM orders
 """
 
