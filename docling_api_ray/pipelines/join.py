@@ -57,6 +57,9 @@ def adaptive_n_buckets(
 
 def bucket_col(key: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     """int64 key → int32 bucket in [0, n_buckets). n_buckets power of two."""
+    assert n_buckets & (n_buckets - 1) == 0 and n_buckets > 0, (
+        f"n_buckets must be a power of two, got {n_buckets}"
+    )
     return pc.cast(
         pc.bit_wise_and(pc.cast(key, pa.int64()), pa.scalar(n_buckets - 1, pa.int64())),
         pa.int32(),
@@ -67,7 +70,12 @@ def hash_bucket_col(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array
     """Deterministic bucket for STRING keys: blake2b over each distinct
     value (dictionary-encoded, so the hash runs once per unique value per
     batch, not per row), spread into [0, n_buckets). Stable across
-    processes — never Python's salted hash()."""
+    processes — never Python's salted hash(). n_buckets MUST be a power
+    of two (the spread is a bitmask; a non-power-of-two would skew
+    buckets and leave some indices unreachable)."""
+    assert n_buckets & (n_buckets - 1) == 0 and n_buckets > 0, (
+        f"n_buckets must be a power of two, got {n_buckets}"
+    )
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     d = col.dictionary_encode()

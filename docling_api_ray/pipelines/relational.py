@@ -707,7 +707,12 @@ def q_set_ops_customers(sf_dir: str):
         l = t.filter(pc.equal(t["o_orderpriority"], "5-LOW"))["o_custkey"]
         return pa.table(
             {
-                "key": pa.concat_arrays(u.chunks + l.chunks),
+                # typed empty tail: a batch with zero URGENT and zero LOW
+                # rows yields no chunks on either side, and
+                # pa.concat_arrays([]) raises ArrowInvalid
+                "key": pa.concat_arrays(
+                    u.chunks + l.chunks + [pa.array([], u.type)]
+                ),
                 "__side": pa.array([0] * len(u) + [1] * len(l), pa.int8()),
             }
         )
@@ -783,7 +788,9 @@ def q10_returned_items(sf_dir: str):
 
     def partial_by_cust(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["o_custkey", "rev"])
+        # select by name — pyarrow group_by output column ordering has
+        # varied across versions, so positional renames can silently swap
+        return pa.table({"o_custkey": g["o_custkey"], "rev": g["rev_sum"]})
 
     joined = bucketed_equi_join(
         li.map_batches(filt_li, batch_format="pyarrow"),
@@ -879,8 +886,14 @@ def q_cust_order_counts(sf_dir: str):
         g = t2.group_by("c_mktsegment").aggregate(
             [("one", "sum"), ("zero_flag", "sum"), ("n_orders", "sum")]
         )
-        return g.rename_columns(
-            ["c_mktsegment", "n_customers", "n_no_orders", "total_orders"]
+        # select by name, not positional rename (see partial_by_cust)
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "n_customers": g["one_sum"],
+                "n_no_orders": g["zero_flag_sum"],
+                "total_orders": g["n_orders_sum"],
+            }
         )
 
     joined = bucketed_equi_join(
@@ -927,7 +940,12 @@ def _tagged_priority_keys(sf_dir: str):
         l = t.filter(pc.equal(t["o_orderpriority"], "5-LOW"))["o_custkey"]
         return pa.table(
             {
-                "key": pa.concat_arrays(u.chunks + l.chunks),
+                # typed empty tail: a batch with zero URGENT and zero LOW
+                # rows yields no chunks on either side, and
+                # pa.concat_arrays([]) raises ArrowInvalid
+                "key": pa.concat_arrays(
+                    u.chunks + l.chunks + [pa.array([], u.type)]
+                ),
                 "__side": pa.array([0] * len(u) + [1] * len(l), pa.int8()),
             }
         )

@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min, Sum
 
 from .join import adaptive_n_buckets, bucket_col, table_bytes
-from .util import read, round_col
+from .util import key_bucketed, read, round_col
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 PUNCT_RE = r"[.!?,;]"
@@ -1030,12 +1030,13 @@ def q_doc_tfidf(sf_dir: str):
         .map_groups(score_bucket, batch_format="pandas")
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["score", "term"], ascending=[False, True]
-        ).head(TFIDF_TOP_K)
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-doc top-k over ALL docs in the bucket at once —
+        # a groupby(doc_id).map_groups here would pay ~1 ms/group × n_docs
+        g = g.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
+        return g.groupby("doc_id", sort=False).head(TFIDF_TOP_K)
 
-    return scored.groupby("doc_id").map_groups(topk, batch_format="pandas")
+    return key_bucketed(scored, "doc_id", topk_bucket)
 
 
 TFIDF_SQL = rf"""
