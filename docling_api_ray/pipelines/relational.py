@@ -32,7 +32,6 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from .join import (
     adaptive_n_buckets,
-    bucket_col,
     bucketed_equi_join,
     bucketed_except_keys,
     bucketed_semi_anti,
@@ -137,25 +136,31 @@ WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
 # ---------------------------------------------------------------------------
 # Q3-style: broadcast dim filter + DISTRIBUTED semi-join + grouped agg + top-k
 def q3_top_orders(sf_dir: str):
-    # customer is a true dimension → broadcast key set is the right call;
-    # the order-key side is FACT-sized, so lineitem⋈orders rides the
-    # bucketed semi-join (no driver key collection — at 100x the filtered
-    # order-key set is tens of millions of keys).
-    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
-    )
-    cust_ref = broadcast(building)
+    # customer scales with sf (TPC-H: 150k rows/sf), so its BUILDING key
+    # set is NOT driver-collectible at 100x — both reductions ride
+    # bucketed semi-joins: orders⋉customer on custkey, then
+    # lineitem⋉orders on orderkey. No driver key collection anywhere.
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def building_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"])
 
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filt_orders(t: pa.Table) -> pa.Table:
-        keys = ray.get(cust_ref)
         t = t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT)))
-        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(keys), type=pa.int64()))
-        return t.filter(mask).select(["o_orderkey"])
+        return t.select(["o_orderkey", "o_custkey"])
 
-    okeys_tbl = orders.map_batches(filt_orders, batch_format="pyarrow")
+    nb_cust = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+    okeys_tbl = bucketed_semi_anti(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        "o_custkey",
+        cust.map_batches(building_keys, batch_format="pyarrow"),
+        "c_custkey",
+        nb_cust,
+        fact_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        post=lambda t: t.select(["o_orderkey"]),
+    )
 
     li = read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
@@ -215,114 +220,109 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# Q5-style: hash-partitioned Dataset.join (lineitem⋈orders) + broadcast dims
+# Q5-style: three chained bucketed equi-joins. customer and supplier scale
+# with sf (TPC-H: 150k/10k rows per sf) so NEITHER is driver-collectible at
+# 100x — each attaches its nationkey to the fact side through its own
+# hash-partitioned join. Only nation/region (25/5 rows, true dimensions)
+# live on the driver. The same-nation constraint and a per-nation partial
+# aggregate resolve INSIDE the orderkey join's buckets, so the final merge
+# is over ≤ n_buckets × 5 partial rows — output-bounded by construction.
 def q5_region_revenue(sf_dir: str):
     nation = read_small(sf_dir, "nation")
     region = read_small(sf_dir, "region")
-    supplier = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    customer = read_small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-
     rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    n_region = {
-        nk: rmap[rk]
-        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
-    }
+    asia_nations = sorted(
+        nk
+        for nk, rk in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+        if rmap[rk] == "ASIA"
+    )
     n_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    asia_nations = {nk for nk, r in n_region.items() if r == "ASIA"}
-    supp_nation = {
-        sk: nk
-        for sk, nk in zip(supplier["s_suppkey"].to_pylist(), supplier["s_nationkey"].to_pylist())
-        if nk in asia_nations
-    }
-    cust_nation = {
-        ck: nk
-        for ck, nk in zip(customer["c_custkey"].to_pylist(), customer["c_nationkey"].to_pylist())
-        if nk in asia_nations
-    }
-    dims = broadcast((supp_nation, cust_nation, n_name))
+    asia_arr = pa.array(asia_nations, type=pa.int64())
 
+    # J1: orders(date-filtered) ⋈ customer(ASIA) on custkey → (o_orderkey, c_nationkey)
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filt_orders(t: pa.Table) -> pa.Table:
-        _, cn, _ = ray.get(dims)
         t = t.filter(pc.less(t["o_orderdate"], pa.scalar(CUT)))
-        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(cn), type=pa.int64()))
-        return t.filter(mask).select(["o_orderkey", "o_custkey"])
+        return t.select(["o_orderkey", "o_custkey"])
 
+    customer = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def filt_cust(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["c_nationkey"], value_set=asia_arr))
+
+    nb_cust = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+    ord_nat = bucketed_equi_join(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        "o_custkey",
+        customer.map_batches(filt_cust, batch_format="pyarrow"),
+        "c_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
+        n_buckets=nb_cust,
+        how="inner",
+        post=lambda t: t.select(["o_orderkey", "c_nationkey"]),
+    )
+
+    # J2: lineitem ⋈ supplier(ASIA) on suppkey → (l_orderkey, s_nationkey, rev)
     li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def filt_li(t: pa.Table) -> pa.Table:
-        sn, _, _ = ray.get(dims)
-        mask = pc.is_in(t["l_suppkey"], value_set=pa.array(list(sn), type=pa.int64()))
-        t = t.filter(mask)
+    def li_prep(t: pa.Table) -> pa.Table:
         return t.append_column(
             "rev", pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
         ).select(["l_orderkey", "l_suppkey", "rev"])
 
-    # Explicit hash-partitioned join: bucket both sides by key hash, union,
-    # one groupby(bucket) shuffle, pandas merge per bucket. (Ray 2.49's
-    # native Dataset.join was evaluated here and found unstable in local
-    # mode — unbounded worker churn and 10x wall-time outliers — so the
-    # engine uses the portable bucketed pattern for large-large joins.)
-    # Bucket count scales with input bytes; side tag is int8, not a
-    # per-row string.
-    N_BUCKETS = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+    supplier = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
 
-    def li_side(t: pa.Table) -> pa.Table:
-        t = filt_li(t)
-        key = t["l_orderkey"]
-        return pa.table(
-            {
-                "bucket": bucket_col(key, N_BUCKETS),
-                "key": key,
-                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
-                "suppkey": t["l_suppkey"],
-                "custkey": pa.nulls(len(t), type=pa.int64()),
-                "rev": t["rev"],
-            }
-        )
+    def filt_supp(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["s_nationkey"], value_set=asia_arr))
 
-    def ord_side(t: pa.Table) -> pa.Table:
-        t = filt_orders(t)
-        key = t["o_orderkey"]
-        return pa.table(
-            {
-                "bucket": bucket_col(key, N_BUCKETS),
-                "key": key,
-                "side": pa.array(np.ones(len(t), dtype=np.int8)),
-                "suppkey": pa.nulls(len(t), type=pa.int64()),
-                "custkey": t["o_custkey"],
-                "rev": pa.nulls(len(t), type=pa.float64()),
-            }
-        )
-
-    both = li.map_batches(li_side, batch_format="pyarrow").union(
-        orders.map_batches(ord_side, batch_format="pyarrow")
+    nb_supp = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "supplier"))
+    li_nat = bucketed_equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_suppkey",
+        supplier.map_batches(filt_supp, batch_format="pyarrow"),
+        "s_suppkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("rev", pa.float64())]
+        ),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]),
+        n_buckets=nb_supp,
+        how="inner",
+        post=lambda t: t.select(["l_orderkey", "s_nationkey", "rev"]),
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        sn, cn, names = ray.get(dims)
-        left = g[g["side"] == 0]
-        right = g[g["side"] == 1]
-        if left.empty or right.empty:
-            return pd.DataFrame({"n_name": pd.Series(dtype=object), "rev": pd.Series(dtype="float64")})
-        m = left.merge(right[["key", "custkey"]], on="key", suffixes=("", "_o"))
-        # null-padded union columns arrive as float64 in pandas; restore ints
-        s_nat = m["suppkey"].astype("int64").map(sn)
-        c_nat = m["custkey_o"].astype("int64").map(cn)
-        same = s_nat == c_nat  # Q5 constraint: supplier + customer same nation
-        m = m[same]
-        if m.empty:
-            return pd.DataFrame({"n_name": pd.Series(dtype=object), "rev": pd.Series(dtype="float64")})
-        return pd.DataFrame({"n_name": s_nat[same].map(names), "rev": m["rev"]})
+    # J3: li_nat ⋈ ord_nat on orderkey; same-nation filter + per-nation
+    # partial sum inside each bucket (≤5 rows out per bucket)
+    def post_same_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+        g = t.group_by("s_nationkey").aggregate([("rev", "sum")])
+        return pa.table({"nk": g["s_nationkey"], "rev": g["rev_sum"]})
 
-    out = (
-        both.groupby("bucket")
-        .map_groups(join_bucket, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("rev", alias_name="revenue"))
+    nb_ord = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+    partials = bucketed_equi_join(
+        li_nat,
+        "l_orderkey",
+        ord_nat,
+        "o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("s_nationkey", pa.int64()), ("rev", pa.float64())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]),
+        n_buckets=nb_ord,
+        how="inner",
+        post=post_same_nation,
     )
-    return out.map_batches(lambda t: round_col(t, "revenue", 2), batch_format="pyarrow")
+
+    # final merge: ≤ nb_ord × 5 partial rows — output-bounded driver fold
+    # (cheaper than a fourth all-to-all barrier for a 5-row result)
+    part = pa.Table.from_pylist(partials.take_all())
+    g = part.group_by("nk").aggregate([("rev", "sum")])
+    names = pa.array([n_name[k] for k in g["nk"].to_pylist()], type=pa.string())
+    out = pa.table({"n_name": names, "revenue": g["rev_sum"]})
+    return round_col(out, "revenue", 2)
 
 
 Q5_SQL = """
@@ -585,27 +585,37 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
-# Top customers by spend, enriched with the broadcast customer name
+# Top customers by spend, enriched with names AFTER the limit: customer
+# scales with sf so a driver custkey→name map is not 100x-safe; instead
+# the 10 winning keys (output-sized) drive a filtered distributed scan of
+# customer — the q_knn_label_votes pattern (similarity.py).
 def q_top_customers(sf_dir: str):
-    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    cmap = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
-    ref = broadcast(cmap)
-
     ds = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     top = (
         ds.groupby("o_custkey")
         .aggregate(Sum("o_totalprice", alias_name="spend"), Count(alias_name="n_orders"))
         .sort(["spend", "o_custkey"], descending=[True, False])
         .limit(10)
+        .take_all()
+    )  # 10 rows — output-bounded
+    keys = pa.array([r["o_custkey"] for r in top], type=pa.int64())
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    hits = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+        batch_format="pyarrow",
+    ).take_all()  # ≤10 rows
+    names = {r["c_custkey"]: r["c_name"] for r in hits}
+
+    out = pa.table(
+        {
+            "o_custkey": keys,
+            "spend": pa.array([r["spend"] for r in top], type=pa.float64()),
+            "n_orders": pa.array([r["n_orders"] for r in top], type=pa.int64()),
+            "c_name": pa.array([names[r["o_custkey"]] for r in top], type=pa.string()),
+        }
     )
-
-    def enrich(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        names = [m[k] for k in t["o_custkey"].to_pylist()]
-        t = t.append_column("c_name", pa.array(names, type=pa.string()))
-        return round_col(t, "spend", 2)
-
-    return top.map_batches(enrich, batch_format="pyarrow")
+    return round_col(out, "spend", 2)
 
 
 TOP_CUST_SQL = """
@@ -618,33 +628,55 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# Per-group top-k (window-function analog): top 3 orders per market segment
+# Per-group top-k (window-function analog): top 3 orders per market
+# segment. The segment attaches to orders through a bucketed custkey join
+# (customer scales with sf — no driver map), and the top-3 is computed as
+# a PARTIAL inside each join bucket (≤ 5 segments × 3 rows out per
+# bucket), so no worker ever materializes a whole segment: a
+# groupby(c_mktsegment) here would hash ~1/5 of all orders into one
+# group — the canonical skewed-key scale-killer.
 def q_top_orders_per_segment(sf_dir: str):
-    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    seg = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = broadcast(seg)
-    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
-    def enrich(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        segs = [m[k] for k in t["o_custkey"].to_pylist()]
-        return pa.table(
-            {
-                "c_mktsegment": pa.array(segs, type=pa.string()),
-                "o_orderkey": t["o_orderkey"],
-                "o_totalprice": t["o_totalprice"],
-            }
+    def partial_topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g = g.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        g = g.groupby("c_mktsegment", sort=False).head(3)
+        return pa.Table.from_pandas(
+            g[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(3)
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+    partials = bucketed_equi_join(
+        orders,
+        "o_custkey",
+        cust,
+        "c_custkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+        n_buckets=nb,
+        how="inner",
+        post=partial_topk,
+    )
 
-    return (
-        ds.map_batches(enrich, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .map_groups(topk, batch_format="pandas")
+    # merge partials: ≤ nb × 5 × 3 rows — output-bounded driver fold
+    part = pa.Table.from_pylist(partials.take_all()).to_pandas()
+    part = part.sort_values(
+        ["c_mktsegment", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    )
+    out = part.groupby("c_mktsegment", sort=False).head(3)
+    return pa.Table.from_pandas(
+        out[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False
     )
 
 
@@ -810,32 +842,31 @@ def q10_returned_items(sf_dir: str):
         .limit(20)
     )
 
-    cust = read_small(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    # enrichment AFTER the limit: the 20 winning custkeys (output-sized)
+    # drive a filtered distributed scan of customer — no sf-scaled driver
+    # map. nation (25 rows) is a true dimension.
+    top_rows = top.take_all()  # 20 rows — output-bounded
+    keys = pa.array([r["o_custkey"] for r in top_rows], type=pa.int64())
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    hits = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+        batch_format="pyarrow",
+    ).take_all()  # ≤20 rows
+    cmap = {r["c_custkey"]: (r["c_name"], r["c_nationkey"]) for r in hits}
     nation = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    cmap = dict(
-        zip(cust["c_custkey"].to_pylist(), zip(cust["c_name"].to_pylist(), cust["c_nationkey"].to_pylist()))
-    )
     nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = broadcast((cmap, nmap))
 
-    def enrich(t: pa.Table) -> pa.Table:
-        cm, nm = ray.get(ref)
-        names, nats = [], []
-        for k in t["o_custkey"].to_pylist():
-            cname, natkey = cm[k]
-            names.append(cname)
-            nats.append(nm[natkey])
-        t = pa.table(
-            {
-                "c_custkey": t["o_custkey"],
-                "c_name": pa.array(names, pa.string()),
-                "n_name": pa.array(nats, pa.string()),
-                "revenue": t["revenue"],
-            }
-        )
-        return round_col(t, "revenue", 2)
-
-    return top.map_batches(enrich, batch_format="pyarrow")
+    out = pa.table(
+        {
+            "c_custkey": keys,
+            "c_name": pa.array([cmap[r["o_custkey"]][0] for r in top_rows], pa.string()),
+            "n_name": pa.array(
+                [nmap[cmap[r["o_custkey"]][1]] for r in top_rows], pa.string()
+            ),
+            "revenue": pa.array([r["revenue"] for r in top_rows], pa.float64()),
+        }
+    )
+    return round_col(out, "revenue", 2)
 
 
 Q10_SQL = """
