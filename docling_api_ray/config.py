@@ -17,9 +17,11 @@ class PipelineConfig:
     # ConversionOptions parity ------------------------------------------------
     output_format: str = "markdown"  # markdown | json | both  (schemas.py:22-26)
     enable_table_extraction: bool = True  # schemas.py:118; False demotes tables to text spans
-    enable_ocr: bool = False  # accepted, no-op (schemas.py:115)
+    enable_ocr: bool = False  # gates the deterministic OCR span (schemas.py:115)
     force_full_page_ocr: bool = False  # accepted, no-op (schemas.py:116)
-    ocr_languages: tuple[str, ...] = ("eng",)  # accepted, no-op (schemas.py:117)
+    # observable in the OCR span text, "[ocr eng+hin <ref>]" — mirrors the
+    # reference's Tesseract language packs (documents.py:185-198)
+    ocr_languages: tuple[str, ...] = ("eng",)
     enable_vlm: bool = False  # accepted, no-op (schemas.py:119)
 
     # Admission limits (gateway caps: 100 MB/file `api/config.py:56-59`,

@@ -20,6 +20,7 @@ from .spec import (
     BLOCKISH_TAGS,
     BOILER_CLASS_TOKENS,
     CONTAINER_TAGS,
+    DOCX_HEADING_RE,
     ERR_TIMEOUT,
     ERR_TOO_LARGE,
     ERR_TOO_MANY_PAGES,
@@ -27,6 +28,7 @@ from .spec import (
     HEADING_TAGS,
     LINK_DENSITY_MAX,
     PARAGRAPH_TAGS,
+    PPTX_TITLE_TYPES,
     SKIP_TAGS,
     collapse,
     extract_pdf_table,
@@ -197,6 +199,228 @@ def extract_html(payload: str, cfg: PipelineConfig) -> list[tuple[str, str]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# OOXML formats (docx_xml / pptx_xml) — tree-walking oracle per the spec's
+# docx_xml/pptx_xml sections; independent of the streaming engine scanners
+# (stages/ooxml_extract.py). Registered in EXTRA_FORMATS, the oracle mirror
+# of the engine's register_format seam.
+
+_DOCX_INERT = frozenset({"w:drawing", "w:pict"})
+_PPTX_INERT = frozenset({"p:pic"})
+
+
+def _ooxml_gather(
+    node: _Node,
+    parts: list[str],
+    text_tag: str,
+    break_tags: frozenset,
+    para_tag: str,
+    inert_tags: frozenset,
+    in_text: bool = False,
+) -> None:
+    """Spec rule d1 text accumulation over a subtree."""
+    for c in node.children:
+        if isinstance(c, str):
+            if in_text:
+                parts.append(c)
+            continue
+        if c.tag in inert_tags:
+            continue
+        if c.tag in break_tags:
+            parts.append(" ")
+            _ooxml_gather(c, parts, text_tag, break_tags, para_tag, inert_tags, in_text)
+            continue
+        _ooxml_gather(
+            c, parts, text_tag, break_tags, para_tag, inert_tags,
+            in_text or c.tag == text_tag,
+        )
+        if c.tag == para_tag:
+            parts.append(" ")
+
+
+def _ooxml_ref(node: _Node) -> str:
+    """First r:embed (else first r:id) attribute value in the subtree,
+    pre-order document order, element itself first (spec d2)."""
+    embed = rid = None
+
+    def scan(n: _Node) -> None:
+        nonlocal embed, rid
+        if embed is None and n.attrs.get("r:embed"):
+            embed = n.attrs["r:embed"]
+        if rid is None and n.attrs.get("r:id"):
+            rid = n.attrs["r:id"]
+        for c in n.children:
+            if isinstance(c, _Node):
+                scan(c)
+
+    scan(node)
+    return embed or rid or ""
+
+
+def _ooxml_table_rows(
+    tbl: _Node, row_tag: str, cell_tag: str, tbl_tag: str, text_tag: str,
+    inert_tags: frozenset, gather, in_text: bool = False,
+) -> list[list[str]]:
+    """Spec rule d4 row/cell collection for the outermost table `tbl`.
+    `in_text` threads ancestor text_tag context (a table nested inside a
+    <w:t> still counts bare text as w:t-descendant text)."""
+    rows: list[list[str]] = []
+
+    def collect_cells(n: _Node, row: list[str], it: bool) -> None:
+        for c in n.children:
+            if not isinstance(c, _Node) or c.tag in inert_tags or c.tag == tbl_tag:
+                continue
+            if c.tag == cell_tag:
+                parts: list[str] = []
+                gather(c, parts, it)
+                row.append(collapse("".join(parts)))
+            else:  # nested rows flatten into this row
+                collect_cells(c, row, it or c.tag == text_tag)
+
+    def walk(n: _Node, it: bool) -> None:
+        for c in n.children:
+            if not isinstance(c, _Node) or c.tag in inert_tags or c.tag == tbl_tag:
+                continue
+            if c.tag == row_tag:
+                row: list[str] = []
+                collect_cells(c, row, it)
+                rows.append(row)
+            else:
+                walk(c, it or c.tag == text_tag)
+
+    walk(tbl, in_text)
+    return rows
+
+
+def _docx_gather(node: _Node, parts: list[str], in_text: bool = False) -> None:
+    _ooxml_gather(
+        node, parts, "w:t", frozenset({"w:tab", "w:br", "w:cr"}), "w:p",
+        _DOCX_INERT, in_text,
+    )
+
+
+def _docx_first_style(node: _Node) -> str | None:
+    """First w:pstyle in document order outside inert subtrees (spec d3)."""
+    for c in node.children:
+        if not isinstance(c, _Node) or c.tag in _DOCX_INERT:
+            continue
+        if c.tag == "w:pstyle":
+            return c.attrs.get("w:val") or ""
+        v = _docx_first_style(c)
+        if v is not None:
+            return v
+    return None
+
+
+def _docx_drawings(node: _Node, out: list[str]) -> None:
+    for c in node.children:
+        if not isinstance(c, _Node):
+            continue
+        if c.tag in _DOCX_INERT:
+            out.append(_ooxml_ref(c))
+        else:
+            _docx_drawings(c, out)
+
+
+def extract_docx(payload: str, cfg: PipelineConfig) -> list[tuple[str, str, str]]:
+    """docx_xml fragment → [(kind, text, media_ref)] per spec d1-d5."""
+    builder = _TreeBuilder()
+    builder.feed(payload)
+    builder.close()
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node: _Node, in_wt: bool) -> None:
+        for c in node.children:
+            if not isinstance(c, _Node) or c.tag in _DOCX_INERT:
+                continue
+            if c.tag == "w:tbl":
+                rows = _ooxml_table_rows(
+                    c, "w:tr", "w:tc", "w:tbl", "w:t", _DOCX_INERT,
+                    _docx_gather, in_wt,
+                )
+                fmt = format_table(rows, cfg.enable_table_extraction)
+                if fmt:
+                    out.append((fmt[0], fmt[1], ""))
+            elif c.tag == "w:p":
+                refs: list[str] = []
+                _docx_drawings(c, refs)
+                for r in refs:
+                    out.append(("picture", "", r))
+                parts: list[str] = []
+                _docx_gather(c, parts, in_wt)
+                text = collapse("".join(parts))
+                if text:
+                    style = _docx_first_style(c)
+                    kind = (
+                        "heading"
+                        if style and DOCX_HEADING_RE.match(style)
+                        else "text"
+                    )
+                    out.append((kind, text, ""))
+            else:
+                walk(c, in_wt or c.tag == "w:t")
+
+    walk(builder.root, False)
+    return out
+
+
+def _pptx_gather(node: _Node, parts: list[str], in_text: bool = False) -> None:
+    _ooxml_gather(node, parts, "a:t", frozenset({"a:br"}), "a:p", _PPTX_INERT, in_text)
+
+
+def extract_pptx(payload: str, cfg: PipelineConfig) -> list[tuple[str, str, str]]:
+    """pptx_xml fragment → [(kind, text, media_ref)] per the spec."""
+    builder = _TreeBuilder()
+    builder.feed(payload)
+    builder.close()
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node: _Node, titles: list[list[bool]], in_at: bool) -> None:
+        for c in node.children:
+            if not isinstance(c, _Node):
+                continue
+            t = c.tag
+            if t == "p:pic":
+                out.append(("picture", "", _ooxml_ref(c)))
+            elif t == "a:tbl":
+                rows = _ooxml_table_rows(
+                    c, "a:tr", "a:tc", "a:tbl", "a:t", _PPTX_INERT,
+                    _pptx_gather, in_at,
+                )
+                fmt = format_table(rows, cfg.enable_table_extraction)
+                if fmt:
+                    out.append((fmt[0], fmt[1], ""))
+            elif t == "a:p":
+                parts: list[str] = []
+                _pptx_gather(c, parts, in_at)
+                text = collapse("".join(parts))
+                if text:
+                    head = bool(titles and titles[-1][0])
+                    out.append(("heading" if head else "text", text, ""))
+            elif t == "p:ph":
+                typ = (c.attrs.get("type") or "").lower()
+                if typ in PPTX_TITLE_TYPES and titles:
+                    titles[-1][0] = True
+                walk(c, titles, in_at or t == "a:t")
+            elif t == "p:sp":
+                titles.append([False])
+                walk(c, titles, in_at or t == "a:t")
+                titles.pop()
+            else:
+                walk(c, titles, in_at or t == "a:t")
+
+    walk(builder.root, [], False)
+    return out
+
+
+# Oracle mirror of the engine's format registry: kind → fn(payload, cfg)
+# yielding (kind, text, media_ref) triples.
+EXTRA_FORMATS: dict = {
+    "docx_xml": extract_docx,
+    "pptx_xml": extract_pptx,
+}
+
+
 def extract_document(
     doc_id: str, spans: list[dict], cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> dict:
@@ -213,7 +437,7 @@ def extract_document(
             if deadline is not None and _mono() > deadline:
                 return _error_row(doc_id, ERR_TIMEOUT)
             kind = sp["kind"]
-            if kind not in INPUT_KINDS:
+            if kind not in INPUT_KINDS and kind not in EXTRA_FORMATS:
                 return _error_row(doc_id, ERR_UNKNOWN_KIND.format(kind=repr(kind)))
             text = sp["text"] or ""
             total_bytes += len(text.encode("utf-8", errors="replace"))
@@ -227,7 +451,14 @@ def extract_document(
                 mref = sp["media_ref"] or ""
                 out.append(_span("picture", "", mref, len(out)))
                 if cfg.enable_ocr:
-                    out.append(_span("text", f"[ocr {mref}]", "", len(out)))
+                    out.append(
+                        _span(
+                            "text",
+                            f"[ocr {'+'.join(cfg.ocr_languages)} {mref}]",
+                            "",
+                            len(out),
+                        )
+                    )
             elif kind == "html":
                 for k, t in extract_html(text, cfg):
                     out.append(_span(k, t, "", len(out)))
@@ -238,6 +469,9 @@ def extract_document(
                 fmt = extract_pdf_table(text, cfg.enable_table_extraction)
                 if fmt:
                     out.append(_span(fmt[0], fmt[1], "", len(out)))
+            else:  # registered extra format (gated by the known-kind check)
+                for k, t, m in EXTRA_FORMATS[kind](text, cfg):
+                    out.append(_span(k, t, m, len(out)))
     except Exception as exc:  # errors-as-data: never raise per row
         return _error_row(doc_id, f"{type(exc).__name__}: {exc}")
     return {

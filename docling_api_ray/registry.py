@@ -28,6 +28,7 @@ _MODULES = (relational, events, analytics, text, similarity, extraction_queries)
 _PRIORITY = (
     # flagship extraction + media (never driver-evaluated before r03)
     "q_extract_documents",
+    "q_extract_ooxml",
     "q_extract_kind_stats",
     "q_extract_credits",
     "q_extract_usage_summary",

@@ -44,11 +44,64 @@ image → picture span (text="", media_ref preserved — the span-linking
   invariant, SURVEY.md §2.4 J4); with `enable_ocr` (reference
   `api/models/schemas.py:115`, Tesseract stage `modal_docling.py:162-179`)
   the picture is followed by a deterministic OCR-text span
-  "[ocr <media_ref>]" — the real engine would run the OCR model here
+  "[ocr <languages joined by '+'> <media_ref>]" (e.g. "[ocr eng+hin
+  img-3]") — `ocr_languages` is observable end-to-end, mirroring the
+  reference's language-pack selection (`api/routes/documents.py:185-198`,
+  Tesseract `-l eng+hin`) — the real engine would run the OCR model here
   (actor-pool stage); the deterministic core fakes the text but keeps the
   span-flow plumbing real. page_break → no span;
   pages = 1 + count(page_break) (`modal_docling.py:245`; fallback-to-1
   semantics `docling_client.py:444-449`). Output offsets dense 0..n-1.
+
+docx_xml (`kind="docx_xml"`, SHIPPED REGISTERED FORMAT — rides the
+  `register_format` seam engine-side and `oracle.EXTRA_FORMATS` oracle-side;
+  the reference advertises DOCX input, `/root/reference/api/main.py:79`,
+  `api/routes/documents.py:153`): payload is a WordprocessingML body
+  fragment (the content of word/document.xml). Tag/attribute names are
+  matched case-insensitively (both parsers lowercase them). Walking
+  elements in document order:
+  d1. Only `<w:t>` descendants carry text — bare text between other tags
+      (XML indentation) is IGNORED. Within text accumulation, each
+      `<w:tab>`, `<w:br>`, `<w:cr>` contributes one space, and each
+      CLOSED `<w:p>` nested inside the accumulating scope contributes one
+      space (paragraph separator). Entities are decoded; the final text
+      is collapse()d.
+  d2. `<w:drawing>` / `<w:pict>` subtrees are INERT: no text, no
+      structure, no style from inside them. A drawing whose nearest
+      enclosing block is a `<w:p>` outside tables emits one picture span
+      (text="", media_ref = first `r:embed` attribute value in the
+      subtree in document order, else first `r:id`, else "") BEFORE the
+      paragraph's own span; pictures keep subtree document order.
+      Drawings inside tables or outside any paragraph emit nothing.
+  d3. `<w:p>` outside tables → one span: heading if the first
+      `<w:pstyle>` element in the paragraph subtree (outside drawings)
+      has a `w:val` matching Title or Heading1-9 (case-insensitive),
+      else text. Empty paragraphs emit nothing (pictures still emit).
+      A nested `<w:p>` (malformed) flattens into the outer paragraph.
+  d4. `<w:tbl>` outside paragraphs → one table span via `format_table`:
+      rows = `<w:tr>` elements whose nearest enclosing table is this one
+      (nested `<w:tr>` inside a row flattens its cells into that row);
+      cells = `<w:tc>` elements within the row outside nested tables
+      (nested `<w:tc>` inside an open cell flattens). Cell text per d1,
+      gathered across the whole cell subtree — nested tables inside a
+      cell flatten into the cell text. Content inside a table but
+      outside any cell is ignored. A `<w:tbl>` nested inside a `<w:p>`
+      is transparent: its text flows into the paragraph, no table span.
+  d5. All other elements recurse. Unclosed structures at end of payload
+      are closed implicitly (best-effort, same as HTML).
+
+pptx_xml (`kind="pptx_xml"`, shipped registered format like docx_xml;
+  reference advertises PPTX, `api/routes/documents.py:153`): payload is a
+  PresentationML slide fragment (content of ppt/slides/slideN.xml). Same
+  rules as docx_xml with the DrawingML vocabulary: text runs `<a:t>`,
+  breaks `<a:br>`, paragraphs `<a:p>`, tables `<a:tbl>/<a:tr>/<a:tc>`.
+  `<p:pic>` subtrees are inert and, when OUTSIDE tables and outside any
+  paragraph, emit one picture span in document order (media_ref = first
+  `r:embed` else first `r:id` in the subtree, else ""); inside tables or
+  paragraphs they emit nothing. A paragraph is a heading iff a `<p:ph>`
+  placeholder with `type` "title" or "ctrtitle" (case-insensitive)
+  appears earlier in document order within the paragraph's nearest
+  enclosing `<p:sp>` shape; paragraphs outside any shape are text.
 
 Errors-as-data (`docling_client.py:362-380`): unknown span kind, payload
 over `max_doc_bytes`, or page count over `max_pages` → the whole document
@@ -126,6 +179,14 @@ BLOCKISH_TAGS = (
 )
 
 LINK_DENSITY_MAX = 0.5
+
+# docx_xml: paragraph styles that make a heading (spec rule d3); shared
+# constant like format_table — parsing stays independent per side.
+import re as _re
+
+DOCX_HEADING_RE = _re.compile(r"(?i)^(?:title|heading[1-9])$")
+# pptx_xml: placeholder types that mark a shape's paragraphs as headings.
+PPTX_TITLE_TYPES = frozenset({"title", "ctrtitle"})
 
 ERR_UNKNOWN_KIND = "unknown span kind: {kind}"
 ERR_TOO_LARGE = "document exceeds max_doc_bytes"

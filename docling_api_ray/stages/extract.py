@@ -80,6 +80,9 @@ class DocumentExtractor:
         self.serialize = serialize
         # stateful setup, once per actor (T1 analog: model warmup)
         self.html = FastHtmlExtractor(cfg.enable_table_extraction)
+        # OCR language packs joined like the reference's Tesseract `-l`
+        # argument (documents.py:185-198) — observable in the stub span
+        self._ocr_langs = "+".join(cfg.ocr_languages)
 
     # -- one document (columnar core) ---------------------------------------
 
@@ -135,7 +138,7 @@ class DocumentExtractor:
                     out_m.append(mref or "")
                     if cfg.enable_ocr:
                         out_k.append("text")
-                        out_t.append(f"[ocr {mref or ''}]")
+                        out_t.append(f"[ocr {self._ocr_langs} {mref or ''}]")
                         out_m.append("")
                 elif kind == "page_break":
                     pages += 1

@@ -41,11 +41,13 @@ CHUNK_SCHEMA = pa.schema(
 def validate_doc(spans: list[dict], cfg: PipelineConfig) -> tuple[int, str]:
     """(pages, "") if the doc passes the document-level checks, else
     (0, error) — same order-sensitive semantics as the oracle."""
+    from .extract import _FORMAT_HANDLERS
+
     pages = 1
     total = 0
     for sp in spans:
         kind = sp["kind"]
-        if kind not in INPUT_KINDS:
+        if kind not in INPUT_KINDS and kind not in _FORMAT_HANDLERS:
             return 0, ERR_UNKNOWN_KIND.format(kind=repr(kind))
         text = sp["text"]
         if text:

@@ -114,6 +114,133 @@ def _pdf_table(rng: random.Random) -> str:
     return "\n".join(rows)
 
 
+def _docx_fragment(rng: random.Random, marker: str | None) -> str:
+    """WordprocessingML body fragment: styled headings, multi-run
+    paragraphs (chunked w:t runs + tabs), tables, drawings, entities."""
+    parts = []
+    if rng.random() < 0.7:
+        lvl = rng.randint(1, 3)
+        parts.append(
+            f'<w:p><w:pPr><w:pStyle w:val="Heading{lvl}"/></w:pPr>'
+            f"<w:r><w:t>{_sentence(rng, rng.randint(2, 5))[:-1]}</w:t></w:r></w:p>"
+        )
+    for _ in range(rng.randint(1, 3)):
+        p = _paragraph(rng)
+        if marker:
+            p = p + " " + marker
+            marker = None
+        if rng.random() < 0.2:
+            p += " Q&amp;A &lt;runs&gt;."
+        # split across runs (chunking-invariance: run boundaries must not
+        # change the collapsed text)
+        toks = p.split()
+        runs = []
+        i = 0
+        while i < len(toks):
+            j = min(len(toks), i + rng.randint(2, 6))
+            sep = "<w:tab/>" if rng.random() < 0.1 else ""
+            # runs concatenate EXACTLY (no implicit space) — carry the
+            # word separator inside the run text, as real DOCX does
+            lead = " " if i > 0 else ""
+            runs.append(f"<w:r><w:t>{lead}{' '.join(toks[i:j])}</w:t>{sep}</w:r>")
+            i = j
+        parts.append(f"<w:p>{''.join(runs)}</w:p>")
+    if rng.random() < 0.25:
+        ncol = rng.randint(2, 4)
+        rows = []
+        for r in range(rng.randint(2, 4)):
+            cells = "".join(
+                f"<w:tc><w:p><w:r><w:t>{rng.choice(WORDS)} {r}</w:t></w:r></w:p></w:tc>"
+                for _ in range(ncol)
+            )
+            rows.append(f"<w:tr>{cells}</w:tr>")
+        parts.append(f"<w:tbl>{''.join(rows)}</w:tbl>")
+    if rng.random() < 0.2:
+        rid = rng.randint(1, 99)
+        parts.append(
+            f'<w:p><w:r><w:drawing><a:blip r:embed="rId{rid}"/></w:drawing></w:r>'
+            f"<w:r><w:t>figure caption {rng.choice(WORDS)}</w:t></w:r></w:p>"
+        )
+    return "<w:body>" + "".join(parts) + "</w:body>"
+
+
+def _pptx_fragment(rng: random.Random, marker: str | None) -> str:
+    """PresentationML slide fragment: title shape, body shapes, tables, pics."""
+    parts = []
+    if rng.random() < 0.8:
+        parts.append(
+            '<p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>'
+            f"<p:txBody><a:p><a:r><a:t>{_sentence(rng, rng.randint(2, 5))[:-1]}"
+            "</a:t></a:r></a:p></p:txBody></p:sp>"
+        )
+    body = []
+    for _ in range(rng.randint(1, 4)):
+        p = _sentence(rng, rng.randint(3, 9))
+        if marker:
+            p = p + " " + marker
+            marker = None
+        br = "<a:br/>" if rng.random() < 0.15 else ""
+        body.append(f"<a:p><a:r><a:t>{p}</a:t></a:r>{br}</a:p>")
+    parts.append(f"<p:sp><p:txBody>{''.join(body)}</p:txBody></p:sp>")
+    if rng.random() < 0.2:
+        ncol = rng.randint(2, 3)
+        rows = []
+        for r in range(rng.randint(2, 3)):
+            cells = "".join(
+                f"<a:tc><a:p><a:r><a:t>{rng.choice(WORDS)} {r}</a:t></a:r></a:p></a:tc>"
+                for _ in range(ncol)
+            )
+            rows.append(f"<a:tr>{cells}</a:tr>")
+        parts.append(
+            f"<p:graphicFrame><a:tbl>{''.join(rows)}</a:tbl></p:graphicFrame>"
+        )
+    if rng.random() < 0.15:
+        rid = rng.randint(1, 99)
+        parts.append(
+            f'<p:pic><p:blipFill><a:blip r:embed="rId{rid}"/></p:blipFill></p:pic>'
+        )
+    return "".join(parts)
+
+
+def make_ooxml_doc(seed: int, index: int) -> dict:
+    """OOXML-heavy mixed document — exercises the registered docx_xml /
+    pptx_xml formats alongside the built-in kinds. Pure function of
+    (seed, index), like make_doc."""
+    rng = random.Random(f"ooxml:{seed}:{index}")
+    doc_id = f"xdoc-{index:08d}"
+    n_spans = rng.randint(2, 24)
+    marker: str | None = marker_for(doc_id)
+    spans = []
+    for off in range(n_spans):
+        r = rng.random()
+        if r < 0.40:
+            spans.append(("docx_xml", _docx_fragment(rng, marker), ""))
+            marker = None
+        elif r < 0.65:
+            spans.append(("pptx_xml", _pptx_fragment(rng, marker), ""))
+            marker = None
+        elif r < 0.80:
+            spans.append(("html", _html_fragment(rng, marker), ""))
+            marker = None
+        elif r < 0.90:
+            spans.append(("pdf_text", _pdf_text_page(rng, marker), ""))
+            marker = None
+        elif r < 0.95:
+            spans.append(("image", "", f"img-{doc_id}-{off}"))
+        else:
+            spans.append(("page_break", "", ""))
+    if rng.random() < 0.01:
+        pos = rng.randrange(len(spans))
+        spans[pos] = (POISON_KIND, "\x00garbage\x00", "")
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": np.int32(i)}
+            for i, (k, t, m) in enumerate(spans)
+        ],
+    }
+
+
 def marker_for(doc_id: str) -> str:
     """Seeded marker string for substring-accuracy checks (the reference's
     accuracy oracle, `scripts/test_production.py:358-361`)."""

@@ -148,8 +148,11 @@ def test_actor_pool_mode_matches(ray_session, corpus_dir, default_out, oracle_ro
 
 def test_options_enable_ocr(ray_session, corpus_dir):
     # enable_ocr: picture spans gain a deterministic OCR-text span, in both
-    # oracle and engine (fake text, real span-flow plumbing — spec.py)
-    cfg = PipelineConfig(enable_ocr=True, extractor_concurrency=(1, 2))
+    # oracle and engine (fake text, real span-flow plumbing — spec.py);
+    # ocr_languages is observable in the span text (documents.py:185-198)
+    cfg = PipelineConfig(
+        enable_ocr=True, ocr_languages=("eng", "hin"), extractor_concurrency=(1, 2)
+    )
     out = run(corpus_dir, cfg)
     docs = [synth.make_doc(SEED, i) for i in range(N_DOCS)]
     exp = {r["doc_id"]: r for r in oracle.extract_corpus(docs, cfg)}
@@ -160,6 +163,24 @@ def test_options_enable_ocr(ray_session, corpus_dir):
         for i, s in enumerate(spans):
             if s["kind"] == "picture":
                 nxt = spans[i + 1]
-                assert nxt["kind"] == "text" and nxt["text"] == f"[ocr {s['media_ref']}]"
+                assert nxt["kind"] == "text"
+                assert nxt["text"] == f"[ocr eng+hin {s['media_ref']}]"
                 saw_ocr += 1
     assert saw_ocr > 0
+
+
+def test_ocr_languages_change_output():
+    # the flag must be observable END-TO-END: different language packs →
+    # different extracted spans (was accepted-but-no-op before round 3)
+    from docling_api_ray.stages.extract import DocumentExtractor
+
+    kinds, texts, media = ["image"], [""], ["img-1"]
+    a = DocumentExtractor(PipelineConfig(enable_ocr=True)).extract_one(
+        "d", kinds, texts, media
+    )
+    b = DocumentExtractor(
+        PipelineConfig(enable_ocr=True, ocr_languages=("eng", "deu"))
+    ).extract_one("d", kinds, texts, media)
+    assert a["spans"][1]["text"] == "[ocr eng img-1]"
+    assert b["spans"][1]["text"] == "[ocr eng+deu img-1]"
+    assert a["spans"] != b["spans"]
