@@ -465,7 +465,9 @@ def _attach_shingles(g: pa.Table) -> pa.Table:
     """Doc-bucket join stage: attach each candidate-pair endpoint's shingle
     array from the co-partitioned shingle rows. Also dedupes endpoints, so
     cross-bucket duplicate candidates (a pair matching in several LSH
-    bands) collapse here instead of in a per-pair global groupby."""
+    bands) collapse here instead of in a per-pair global groupby.
+    Fully vectorized: endpoint dedup via np.unique rows, shingle lookup via
+    searchsorted, list gather via the repeat+cumsum range trick."""
     side = g["__side"]
     shp = g.filter(pc.equal(side, 1))
     prs = g.filter(pc.equal(side, 0))
@@ -475,62 +477,104 @@ def _attach_shingles(g: pa.Table) -> pa.Table:
     offs = la.offsets.to_numpy()
     flat = la.values.to_numpy(zero_copy_only=False)
     ids = shp["key"].to_numpy(zero_copy_only=False)
-    lookup = {int(d): (offs[i], offs[i + 1]) for i, d in enumerate(ids)}
-    seen = set()
-    pb, das, dbs, whs, shs = [], [], [], [], []
-    for a, b, w in zip(
-        prs["doc_a"].to_pylist(), prs["doc_b"].to_pylist(), prs["which"].to_pylist()
-    ):
-        if (a, b, w) in seen:
-            continue
-        seen.add((a, b, w))
-        key = a if w == 0 else b
-        span = lookup.get(key)
-        if span is None:
-            continue
-        pb.append(_pair_bucket(a, b))
-        das.append(a)
-        dbs.append(b)
-        whs.append(w)
-        shs.append(flat[span[0] : span[1]].tolist())
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+
+    trip = np.stack(
+        [
+            prs["doc_a"].to_numpy(zero_copy_only=False),
+            prs["doc_b"].to_numpy(zero_copy_only=False),
+            prs["which"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ],
+        axis=1,
+    )
+    trip = np.unique(trip, axis=0)  # endpoint dedup
+    a, b, w = trip[:, 0], trip[:, 1], trip[:, 2]
+    key = np.where(w == 0, a, b)
+    pos = np.searchsorted(sorted_ids, key)
+    valid = (pos < len(sorted_ids)) & (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == key)
+    a, b, w, pos = a[valid], b[valid], w[valid], pos[valid]
+    if len(a) == 0:
+        return _ENDPOINT_SCHEMA.empty_table()
+    row = order[pos]  # shingle-row index per kept endpoint
+    starts, ends = offs[row], offs[row + 1]
+    lens = (ends - starts).astype(np.int64)
+    out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    idx = np.repeat(starts.astype(np.int64) - out_offs[:-1], lens) + np.arange(
+        out_offs[-1], dtype=np.int64
+    )
+    vals = flat[idx]
+    with np.errstate(over="ignore"):
+        pb = ((a * 1_000_003) ^ b) & (N_PAIR_BUCKETS - 1)
+    sh_arr = pa.ListArray.from_arrays(
+        pa.array(out_offs, type=pa.int32()), pa.array(vals, type=pa.uint64())
+    )
     return pa.table(
         {
-            "pbucket": pa.array(pb, pa.int32()),
-            "doc_a": pa.array(das, pa.int64()),
-            "doc_b": pa.array(dbs, pa.int64()),
-            "which": pa.array(whs, pa.int8()),
-            "sh": pa.array(shs, pa.list_(pa.uint64())),
+            "pbucket": pa.array(pb.astype(np.int32)),
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "which": pa.array(w.astype(np.int8)),
+            "sh": sh_arr,
         }
     )
 
 
 def _verify_pairs(g: pa.Table) -> pa.Table:
     """Pair-bucket stage: both endpoints of a pair are co-located here;
-    compute exact n-gram Jaccard and keep pairs over the threshold."""
+    compute exact n-gram Jaccard and keep pairs over the threshold.
+    Vectorized: rows sort by (doc_a, doc_b), each pair's intersection size
+    is the count of (pair, shingle) duplicates across its two halves
+    (halves are internally unique), via one lexsort — no per-pair loop."""
     la = _list_column(g, "sh")
-    offs = la.offsets.to_numpy()
+    offs = la.offsets.to_numpy().astype(np.int64)
     flat = la.values.to_numpy(zero_copy_only=False)
-    halves: dict[tuple[int, int], list] = {}
-    for i, (a, b, w) in enumerate(
-        zip(g["doc_a"].to_pylist(), g["doc_b"].to_pylist(), g["which"].to_pylist())
-    ):
-        halves.setdefault((a, b), [None, None])[w] = flat[offs[i] : offs[i + 1]]
-    out_a, out_b, out_j = [], [], []
-    for (a, b), (sa, sb) in sorted(halves.items()):
-        if sa is None or sb is None:
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 0.0
-        if j >= NEAR_DUP_THRESHOLD:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(round(j, 4))
+    a = g["doc_a"].to_numpy(zero_copy_only=False)
+    b = g["doc_b"].to_numpy(zero_copy_only=False)
+    w = g["which"].to_numpy(zero_copy_only=False)
+    n = len(a)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+    order = np.lexsort((w, b, a))
+    a, b, w = a[order], b[order], w[order]
+    starts, ends = offs[order], offs[order + 1]
+    lens = ends - starts
+    new_pair = np.ones(n, dtype=bool)
+    new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    pid = np.cumsum(new_pair) - 1  # dense pair index per row
+    n_pairs = int(pid[-1]) + 1
+    # complete pairs have exactly one w=0 and one w=1 row
+    cnt = np.bincount(pid, minlength=n_pairs)
+    has0 = np.bincount(pid[w == 0], minlength=n_pairs) > 0
+    has1 = np.bincount(pid[w == 1], minlength=n_pairs) > 0
+    complete = (cnt == 2) & has0 & has1
+    # gather every row's shingles tagged with its pair id
+    out_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_offs[1:])
+    idx = np.repeat(starts - out_offs[:-1], lens) + np.arange(out_offs[-1], dtype=np.int64)
+    vals = flat[idx]
+    vpid = np.repeat(pid, lens)
+    vorder = np.lexsort((vals, vpid))
+    sv, sp = vals[vorder], vpid[vorder]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    inter = np.bincount(sp[1:][dup], minlength=n_pairs)
+    size = np.bincount(pid, weights=lens, minlength=n_pairs).astype(np.int64)
+    union = size - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    keep = complete & (jac >= NEAR_DUP_THRESHOLD)  # threshold on raw value
+    first_row = np.nonzero(new_pair)[0]  # first row of each pair, in order
     return pa.table(
         {
-            "doc_a": pa.array(out_a, type=pa.int64()),
-            "doc_b": pa.array(out_b, type=pa.int64()),
-            "jaccard": pa.array(out_j, type=pa.float64()),
+            "doc_a": pa.array(a[first_row[keep]], type=pa.int64()),
+            "doc_b": pa.array(b[first_row[keep]], type=pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 4), type=pa.float64()),
         }
     )
 
@@ -816,8 +860,12 @@ class RollingChunker:
     numpy cumulative polynomial hashing per doc."""
 
     def __init__(self):
-        # precompute powers for the sliding window
-        self.pow_w = _POLY_BASE ** np.uint64(CDC_WINDOW - 1)
+        # precompute window powers B^(W-1-j), j = 0..W-1 (uint64 wraparound)
+        p = np.ones(CDC_WINDOW, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(CDC_WINDOW - 2, -1, -1):
+                p[j] = p[j + 1] * _POLY_BASE
+        self.powers = p
 
     def chunk_hashes(self, data: bytes) -> np.ndarray:
         if len(data) < CDC_WINDOW:
@@ -825,15 +873,14 @@ class RollingChunker:
         arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
         n = len(arr)
         with np.errstate(over="ignore"):
-            # rolling hash h[i] over window [i, i+W): computed iteratively
-            h = np.zeros(n - CDC_WINDOW + 1, dtype=np.uint64)
-            cur = np.uint64(0)
+            # windowed polynomial h[i] = Σ_j arr[i+j]·B^(W-1-j): W=16
+            # vectorized numpy passes instead of one Python step per byte
+            # (mod-2^64 identical to the old rolling recurrence)
+            m = n - CDC_WINDOW + 1
+            h = np.zeros(m, dtype=np.uint64)
+            powers = self.powers
             for j in range(CDC_WINDOW):
-                cur = cur * _POLY_BASE + arr[j]
-            h[0] = cur
-            for i in range(1, n - CDC_WINDOW + 1):
-                cur = (cur - arr[i - 1] * self.pow_w) * _POLY_BASE + arr[i + CDC_WINDOW - 1]
-                h[i] = cur
+                h += arr[j : j + m] * powers[j]
         bounds = np.nonzero((h & np.uint64(CDC_MASK)) == 0)[0]
         starts = [0] + [int(b) + CDC_WINDOW for b in bounds if 0 < b + CDC_WINDOW < len(data)]
         starts = sorted(set(starts))
