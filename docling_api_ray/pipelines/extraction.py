@@ -134,18 +134,16 @@ def build_extraction(
         )
 
     giant = _read(paths, threshold, giant=True, pushdown=pushdown)
-    # repartition BEFORE the splitter: the pruned giant read often yields
+    # STREAMING repartition before the splitter (round 3; replaces the
+    # round-2 all-to-all repartition): the pruned giant read often yields
     # only a handful of blocks, and split+chunk fuse onto them — measured
-    # as a 4-task serial segment at 32 CPUs. Repartitioning the raw giant
-    # rows first spreads split AND chunk extraction across the cluster.
-    # Cost: an all-to-all over the ~2% giant slice only. Partition count is
-    # capped at 2×CPUs: more would oversubmit the downstream map_groups
-    # (dozens of queued tasks → a worker-spawn storm that can stall small
-    # CPU budgets with op reservation disabled).
+    # as a 4-task serial segment at 32 CPUs. Splitting blocks to ≤8 giant
+    # rows spreads split AND chunk extraction across the cluster WITHOUT a
+    # barrier — block placement is the scheduler's job either way; what
+    # the pipeline needs is task granularity, not data movement.
     import ray as _ray
 
-    n_parts = min(cfg.chunk_partitions, max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2))
-    giant = giant.repartition(n_parts)
+    giant = giant.repartition(target_num_rows_per_block=8)
     chunks = giant.map_batches(
         make_splitter(cfg), batch_format="pyarrow", batch_size=8
     )
@@ -164,8 +162,46 @@ def build_extraction(
         chunk_out = chunks.map_batches(
             make_chunk_fn(cfg), batch_format="pyarrow", batch_size=64
         )
-    giant_out = chunk_out.groupby("doc_id").map_groups(
-        make_reassembler(fmt), batch_format="pyarrow"
+    # Bucketed reassembly (round 3; replaces groupby(doc_id) over string
+    # keys): chunks hash into ~2×CPU int32 buckets, ONE groupby(bucket)
+    # shuffle co-locates every chunk of a doc, and the bucket kernel
+    # reassembles all of its docs in-process — per-doc work costs a loop
+    # iteration instead of a Ray map_groups group (~1 ms of scheduler
+    # overhead per giant doc at 10^12-doc scale, and an int32-key sort
+    # instead of a string sort).
+    raw_parts = min(
+        cfg.chunk_partitions, max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    )
+    n_parts = 1 << (raw_parts - 1).bit_length()  # hash_bucket_col needs a power of two
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from .join import hash_bucket_col
+
+        return t.append_column("__kb", hash_bucket_col(t["doc_id"], n_parts))
+
+    giant_out = (
+        chunk_out.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(_bucketed_reassembler(fmt), batch_format="pyarrow")
     )
 
     return small_out.union(giant_out.select_columns(out_cols))
+
+
+def _bucketed_reassembler(fmt):
+    """Per-bucket reassembly: sort the bucket by (doc_id, chunk_id), slice
+    per doc, run the single-doc reassembler in-process."""
+    import numpy as np
+
+    inner = make_reassembler(fmt)
+
+    def reasm_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        bounds = np.nonzero(np.concatenate(([True], ids[1:] != ids[:-1])))[0]
+        ends = np.append(bounds[1:], len(ids))
+        return pa.concat_tables(
+            inner(g.slice(int(s), int(e - s))) for s, e in zip(bounds, ends)
+        )
+
+    return reasm_bucket

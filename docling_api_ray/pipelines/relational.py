@@ -891,57 +891,87 @@ ORACLE["q10_returned_items"] = Q10_SQL
 # ---------------------------------------------------------------------------
 # LEFT OUTER join: order counts per customer including zero-order customers
 def q_cust_order_counts(sf_dir: str):
-    """customer LEFT JOIN (orders grouped by custkey): the right side is
-    customer-grained (fact-derived, unbounded at scale), so it rides the
-    bucketed left-outer join; null-extended rows are the zero-order
-    customers. In-bucket partial rollup by segment, tiny final merge."""
-    counts = (
-        read(sf_dir, "orders", columns=["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-    )
+    """customer LEFT JOIN (orders grouped by custkey) in ONE all-to-all:
+    orders pre-count per custkey INSIDE each read batch (combiner — the
+    shuffle ships one partial row per distinct custkey per batch, not one
+    per order), customer rows union in tagged, a single bucket shuffle
+    co-locates each custkey's partials with its customer row, and the
+    bucket kernel merges counts + rolls up by segment. The final merge is
+    over ≤ n_buckets × 5 partial rows — output-bounded driver fold.
+    (Previously: groupby(o_custkey) barrier + join shuffle + final
+    groupby = 3 all-to-alls; now 1.)"""
+    from .join import bucket_col
+
+    orders = read(sf_dir, "orders", columns=["o_custkey"])
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
 
-    def partial(t: pa.Table) -> pa.Table:
-        n = t["n_orders"]
-        filled = pc.fill_null(pc.cast(n, pa.int64()), 0)
-        t2 = pa.table(
-            {
-                "c_mktsegment": t["c_mktsegment"],
-                "one": pa.array(np.ones(len(t), dtype=np.int64)),
-                "zero_flag": pc.cast(pc.is_null(n), pa.int64()),
-                "n_orders": filled,
-            }
-        )
-        g = t2.group_by("c_mktsegment").aggregate(
-            [("one", "sum"), ("zero_flag", "sum"), ("n_orders", "sum")]
-        )
-        # select by name, not positional rename (see partial_by_cust)
+    def cust_side(t: pa.Table) -> pa.Table:
+        key = t["c_custkey"]
         return pa.table(
             {
-                "c_mktsegment": g["c_mktsegment"],
-                "n_customers": g["one_sum"],
-                "n_no_orders": g["zero_flag_sum"],
-                "total_orders": g["n_orders_sum"],
+                "bucket": bucket_col(key, nb),
+                "key": key,
+                "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "seg": t["c_mktsegment"],
+                "n": pa.nulls(len(t), type=pa.int64()),
             }
         )
 
-    joined = bucketed_equi_join(
-        cust,
-        "c_custkey",
-        counts,
-        "o_custkey",
-        left_schema=pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
-        right_schema=pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]),
-        n_buckets=nb,
-        how="left outer",
-        post=partial,
+    def ord_side(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        key = g["o_custkey"]
+        return pa.table(
+            {
+                "bucket": bucket_col(key, nb),
+                "key": key,
+                "side": pa.array(np.ones(len(g), dtype=np.int8)),
+                "seg": pa.nulls(len(g), type=pa.string()),
+                "n": pc.cast(g["o_custkey_count"], pa.int64()),
+            }
+        )
+
+    both = cust.map_batches(cust_side, batch_format="pyarrow").union(
+        orders.map_batches(ord_side, batch_format="pyarrow")
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Sum("n_customers", alias_name="n_customers"),
-        Sum("n_no_orders", alias_name="n_no_orders"),
-        Sum("total_orders", alias_name="total_orders"),
+
+    def bucket_rollup(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series(dtype=object),
+                    "n_customers": pd.Series(dtype="int64"),
+                    "n_no_orders": pd.Series(dtype="int64"),
+                    "total_orders": pd.Series(dtype="int64"),
+                }
+            )
+        right = g[g["side"] == 1]
+        counts = right.groupby("key")["n"].sum()  # merge per-batch partials
+        n = left["key"].map(counts)  # NaN → zero-order customer
+        seg = left["seg"]
+        return pd.DataFrame(
+            {
+                "c_mktsegment": n.groupby(seg).size().index,
+                "n_customers": n.groupby(seg).size().to_numpy().astype("int64"),
+                "n_no_orders": n.isna().groupby(seg).sum().to_numpy().astype("int64"),
+                "total_orders": n.fillna(0).groupby(seg).sum().to_numpy().astype("int64"),
+            }
+        )
+
+    partials = both.groupby("bucket").map_groups(bucket_rollup, batch_format="pandas")
+    # ≤ nb × 5 rows — fold on the driver instead of a second barrier
+    part = pa.Table.from_pylist(partials.take_all())
+    g = part.group_by("c_mktsegment").aggregate(
+        [("n_customers", "sum"), ("n_no_orders", "sum"), ("total_orders", "sum")]
+    )
+    return pa.table(
+        {
+            "c_mktsegment": g["c_mktsegment"],
+            "n_customers": g["n_customers_sum"],
+            "n_no_orders": g["n_no_orders_sum"],
+            "total_orders": g["total_orders_sum"],
+        }
     )
 
 
