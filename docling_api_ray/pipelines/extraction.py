@@ -154,13 +154,18 @@ def build_extraction(
             ChunkExtractor,
             fn_constructor_args=(cfg,),
             batch_format="pyarrow",
-            batch_size=64,
+            # batch_size matches the splitter's: when Ray fuses
+            # split->chunk_extract->add_bucket into one task chain, the
+            # input bundling unit is the chain's LARGEST batch_size — a
+            # 64 here bundled 64 giant docs per task and serialized the
+            # whole giant branch into ~7 tasks at 32 CPUs (measured)
+            batch_size=8,
             concurrency=(1, cfg.extractor_concurrency[1]),
             num_cpus=cfg.extractor_num_cpus,
         )
     else:
         chunk_out = chunks.map_batches(
-            make_chunk_fn(cfg), batch_format="pyarrow", batch_size=64
+            make_chunk_fn(cfg), batch_format="pyarrow", batch_size=8
         )
     # Bucketed reassembly (round 3; replaces groupby(doc_id) over string
     # keys): chunks hash into ~2×CPU int32 buckets, ONE groupby(bucket)
