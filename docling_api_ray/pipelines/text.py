@@ -1153,3 +1153,275 @@ LIMIT {WORD_TOPK}
 
 QUERIES["q_word_topk"] = q_word_topk
 ORACLE["q_word_topk"] = WORD_TOPK_SQL
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 quality heuristics): documents dominated by a
+# few repeated tokens are low-quality training data. Per-doc integer
+# signals (hash-stable vs the oracle): total words, distinct words, and
+# the count of the single most-frequent word. Fully vectorized — the
+# batch's token stream is dictionary-encoded once, then every per-doc
+# statistic falls out of ONE np.unique over (doc, code) pairs; no
+# per-row Python, no shuffle (doc-grained output).
+
+
+def q_doc_repetition(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        trimmed = pc.utf8_trim_whitespace(col)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n_words = np.where(empty, 0, raw_lens)
+        n_docs = len(n_words)
+        flat = pc.list_flatten(toks)
+        codes = (
+            pc.dictionary_encode(flat)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), raw_lens)
+        valid = ~empty[doc_idx]  # drop the [""] artifact of empty docs
+        doc_idx, codes = doc_idx[valid], codes[valid]
+        distinct = np.zeros(n_docs, dtype=np.int64)
+        top = np.zeros(n_docs, dtype=np.int64)
+        if codes.size:
+            k = int(codes.max()) + 1
+            pairs, pair_counts = np.unique(doc_idx * k + codes, return_counts=True)
+            pair_doc = pairs // k
+            distinct = np.bincount(pair_doc, minlength=n_docs).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, pair_doc[1:] != pair_doc[:-1]])
+            top[pair_doc[starts]] = np.maximum.reduceat(pair_counts, starts)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_distinct_words": pa.array(distinct, pa.int64()),
+                "top_word_count": pa.array(top, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words,
+         CAST(max(c) AS BIGINT) AS top_word_count
+  FROM wc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_distinct_words, 0) AS n_distinct_words,
+       COALESCE(a.top_word_count, 0) AS top_word_count
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+QUERIES["q_doc_repetition"] = q_doc_repetition
+ORACLE["q_doc_repetition"] = REPETITION_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): LM training concatenates documents
+# and slices the stream into fixed-capacity sequences. Packing is defined
+# PER SHARD of consecutive doc_ids — a global token cumsum would serialize
+# the whole corpus through one scan, while shard-local packing is exact,
+# deterministic, and embarrassingly parallel (the real layout of a
+# 100 TB tokenization job: one packed stream per input shard). The
+# shard-windowed cumsum rides key_bucketed: ONE groupby(bucket) shuffle,
+# vectorized pandas cumsum per shard inside.
+
+PACK_CAPACITY = 256  # tokens per packed sequence
+PACK_SHARD = 64  # consecutive docs per packing shard
+
+
+def q_doc_pack_sequences(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n = np.where(empty, 0, n)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": pa.array(doc // PACK_SHARD, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    def pack(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        g["cum_before"] = g.groupby("shard")["n_tokens"].cumsum() - g["n_tokens"]
+        g["first_bin"] = g["cum_before"] // PACK_CAPACITY
+        last = (g["cum_before"] + g["n_tokens"] - 1) // PACK_CAPACITY
+        g["last_bin"] = np.where(g["n_tokens"] == 0, g["first_bin"], last)
+        return g[["doc_id", "shard", "n_tokens", "cum_before", "first_bin", "last_bin"]]
+
+    return key_bucketed(ds.map_batches(tok, batch_format="pyarrow"), "shard", pack)
+
+
+PACK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, doc_id // {PACK_SHARD} AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, cum_before,
+       cum_before // {PACK_CAPACITY} AS first_bin,
+       CASE WHEN n_tokens = 0 THEN cum_before // {PACK_CAPACITY}
+            ELSE (cum_before + n_tokens - 1) // {PACK_CAPACITY} END AS last_bin
+FROM c
+"""
+
+QUERIES["q_doc_pack_sequences"] = q_doc_pack_sequences
+ORACLE["q_doc_pack_sequences"] = PACK_SQL
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (Brown et al. 2020, GPT-3 §C): remove/flag
+# training documents that overlap the evaluation set. The held-out set is
+# a FIXED, benchmark-sized side (deterministic doc_id % k sample here) —
+# a true dimension table, so collecting its probe n-grams to the driver
+# and broadcasting them into the scan is the scale-correct shape (at
+# 100 TB the probe set still fits in one ray.put object; the corpus side
+# stays a streaming filter). Matching compiles ALL probes into one RE2
+# alternation — RE2 builds a DFA, so the scan is Aho-Corasick-like
+# single-pass per document regardless of probe count.
+
+DECON_MOD = 97  # doc_id % DECON_MOD == 0 → held-out "benchmark" doc
+DECON_PROBE_WORDS = 3
+
+
+def q_doc_decontaminate(sf_dir: str):
+    held = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def held_only(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(doc % DECON_MOD == 0))
+
+    # benchmark-sized side: bounded by construction (see module comment)
+    probes = []
+    for row in held.map_batches(held_only, batch_format="pyarrow").take_all():
+        words = row["text"].strip().split()
+        if len(words) >= DECON_PROBE_WORDS:
+            probes.append(" ".join(words[:DECON_PROBE_WORDS]))
+    pattern = (
+        "(^| )(" + "|".join(re.escape(p) for p in sorted(set(probes))) + ")( |$)"
+        if probes
+        else None
+    )
+
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(doc % DECON_MOD != 0))
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        if pattern is None:
+            hit = np.zeros(len(t), dtype=np.int64)
+        else:
+            hit = (
+                pc.match_substring_regex(trimmed, pattern)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "contaminated": pa.array(hit, pa.int64())}
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+DECONTAMINATE_SQL = rf"""
+WITH held AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id % {DECON_MOD} = 0
+), probes AS (
+  SELECT DISTINCT array_to_string(w[1:{DECON_PROBE_WORDS}], ' ') AS probe
+  FROM held WHERE len(w) >= {DECON_PROBE_WORDS}
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM probes p
+         WHERE regexp_matches(trim(d.text), '(^| )' || p.probe || '( |$)')
+       ) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d
+WHERE d.doc_id % {DECON_MOD} <> 0
+"""
+
+QUERIES["q_doc_decontaminate"] = q_doc_decontaminate
+ORACLE["q_doc_decontaminate"] = DECONTAMINATE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over the verified MinHash near-dup
+# pair graph, with the canonical representative (min doc_id) per cluster —
+# the step that turns pairwise near-dup output into a keep/drop decision.
+# The pair list is the OUTPUT of LSH+verify, i.e. output-bounded (the
+# CLAUDE.md rule for driver-side state), so a driver union-find is exact
+# and cheap; at 100 TB scale the same pairs table would instead iterate
+# distributed label-propagation (min-label exchange over the pair edges)
+# to a fixed point — the pair table is already the right shape for it.
+
+
+def q_dup_clusters(sf_dir: str):
+    pairs = q_doc_minhash_pairs(sf_dir).to_pandas()  # output-bounded
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # min-root union keeps the canonical id the cluster minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted({int(x) for x in pairs["doc_a"]} | {int(x) for x in pairs["doc_b"]})
+    cluster = [find(m) for m in members]
+    from collections import Counter
+
+    sizes = Counter(cluster)
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "cluster_size": pa.array([sizes[c] for c in cluster], pa.int64()),
+            "is_canonical": pa.array(
+                [int(m == c) for m, c in zip(members, cluster)], pa.int64()
+            ),
+        }
+    )
+
+
+QUERIES["q_dup_clusters"] = q_dup_clusters

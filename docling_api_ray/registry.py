@@ -46,6 +46,11 @@ _PRIORITY = (
     "q_doc_explode_tokens",
     "q_doc_tfidf",
     "q_word_topk",
+    # new operators in r03 — need first driver evidence
+    "q_doc_repetition",
+    "q_doc_pack_sequences",
+    "q_doc_decontaminate",
+    "q_dup_clusters",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",

@@ -97,3 +97,23 @@ def test_rolling_fingerprint(ray_session):
     a = set(r.chunk_hashes(base).tolist())
     b = set(r.chunk_hashes(b"EDIT " + base).tolist())
     assert a & b, "CDC should survive a prefix shift"
+
+
+def test_dup_clusters_invariants(ray_session):
+    """Connected components over the verified pair graph: every pair's
+    endpoints share a cluster, cluster_id is the component minimum (and
+    exactly one member per cluster is canonical), sizes are consistent."""
+    from docling_api_ray.pipelines.text import q_doc_minhash_pairs, q_dup_clusters
+
+    pairs = q_doc_minhash_pairs(SF).to_pandas()
+    t = q_dup_clusters(SF).to_pandas()
+    cl = dict(zip(t["doc_id"], t["cluster_id"]))
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert cl[a] == cl[b], f"pair ({a},{b}) split across clusters"
+    for cid, grp in t.groupby("cluster_id"):
+        assert cid == grp["doc_id"].min()
+        assert (grp["cluster_size"] == len(grp)).all()
+        assert grp["is_canonical"].sum() == 1
+        assert int(grp.loc[grp["is_canonical"] == 1, "doc_id"].iloc[0]) == cid
+    # members are exactly the union of pair endpoints
+    assert set(t["doc_id"]) == set(pairs["doc_a"]) | set(pairs["doc_b"])
