@@ -46,6 +46,16 @@ class PipelineConfig:
     giant_span_threshold: int = 96
     giant_chunk_spans: int = 32
     chunk_partitions: int = 64  # block count for the giant-chunk slice
+    # "local": split → chunk-extract → reassemble composed IN-PROCESS per
+    #   task (zero shuffles in the whole pipeline); parallelism comes from
+    #   the giant-doc COUNT (≫ CPUs at any real scale), not from spreading
+    #   one doc's chunks. The right default when the corpus bounds doc
+    #   size (admission caps: max_pages/max_doc_bytes already bound spans).
+    # "bucketed": chunks shuffle into hash buckets before reassembly — one
+    #   all-to-all, but a single pathological mega-doc's chunks extract in
+    #   parallel across the cluster. Choose for corpora with unbounded
+    #   per-doc skew.
+    giant_reassembly: str = "local"
 
     # Credits arithmetic parity (`api/routes/documents.py:35-41`).
     credits_per_page: int = 1

@@ -5,17 +5,20 @@ Replaces the reference's per-request conversion loop
 for-loop over ≤10 sources per HTTP request) with one streaming Ray Data
 pipeline:
 
-    read_parquet ──(small docs)──► map_batches(DocumentExtractor pool) ─┐
-                └─(giant docs)──► split → map_batches(ChunkExtractor)   ├─► union → serialize
-                                   → groupby(doc_id).map_groups(reasm) ─┘
+    read_parquet ──(small docs)──► map_batches(DocumentExtractor pool) ──┐
+                └─(giant docs)──► map_batches(split→chunk-extract→reasm) ┴─► union → serialize
 
 Scale notes (designed for 10^12 docs / 100 TB, tested single-node):
 - The small/giant branch point uses parquet predicate pushdown on the
   optional `n_spans` layout column (written by `synth.write_corpus`) so
   the giant branch's re-read prunes row groups at storage; without the
   column it falls back to a post-read vectorized filter.
-- The only shuffle is `groupby("doc_id")` over the giant slice (~2% of
-  rows); the 98% small path never shuffles.
+- Default (`giant_reassembly="local"`): ZERO shuffles anywhere — the
+  giant slice's split/extract/reassemble compose in-process, and
+  parallelism comes from the giant-doc count. `"bucketed"` restores the
+  one `groupby(bucket)` all-to-all over the giant slice (~2% of rows)
+  for corpora with unbounded per-doc skew; the 98% small path never
+  shuffles in either mode.
 - The extractor is an autoscaling actor pool (`concurrency=(min,max)`);
   parser state is built once per actor.
 - Nested span columns stay in `batch_format="pyarrow"` end-to-end.
@@ -144,6 +147,32 @@ def build_extraction(
     import ray as _ray
 
     giant = giant.repartition(target_num_rows_per_block=8)
+
+    if cfg.giant_reassembly == "local":
+        # Shuffle-free giant branch: split → chunk-extract → reassemble
+        # composed in ONE stage, so a doc's chunks never leave the worker
+        # and the pipeline has ZERO all-to-all exchanges (the groupby
+        # below was the only one — and the host-noise amplifier: a sort
+        # shuffle's object-store traffic pays page-fault storms twice).
+        # Partitioning assumption: parallelism = giant-doc count (2% of
+        # the corpus ≫ CPUs at any real scale); one doc's chunks extract
+        # sequentially, bounded by the admission caps. batch_size=4 gives
+        # ~400 tasks per 1600 giants — granular enough that the slowest
+        # doc can't dominate a task.
+        if cfg.extractor_mode == "actors":
+            giant_out = giant.map_batches(
+                LocalGiantExtractor,
+                fn_constructor_args=(cfg, fmt),
+                batch_format="pyarrow",
+                batch_size=4,
+                concurrency=(1, cfg.extractor_concurrency[1]),
+                num_cpus=cfg.extractor_num_cpus,
+            )
+        else:
+            giant_out = giant.map_batches(
+                make_local_giant_fn(cfg, fmt), batch_format="pyarrow", batch_size=4
+            )
+        return small_out.union(giant_out.select_columns(out_cols))
     chunks = giant.map_batches(
         make_splitter(cfg), batch_format="pyarrow", batch_size=8
     )
@@ -193,14 +222,49 @@ def build_extraction(
     return small_out.union(giant_out.select_columns(out_cols))
 
 
+class LocalGiantExtractor:
+    """Shuffle-free giant-doc stage: the whole split → chunk-extract →
+    reassemble chain for a batch of giant docs runs in-process (see the
+    `giant_reassembly="local"` note in config.py). Reuses the exact same
+    splitter / ChunkExtractor / reassembler kernels as the bucketed path,
+    so the two modes are equal by construction (and by test)."""
+
+    def __init__(self, cfg: PipelineConfig, fmt):
+        self.split = make_splitter(cfg)
+        self.chunk = ChunkExtractor(cfg)
+        self.reasm = _bucketed_reassembler(fmt)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.reasm(self.chunk(self.split(batch)))
+
+
+_LOCAL_GIANT_CACHE: dict = {}
+
+
+def make_local_giant_fn(cfg: PipelineConfig, fmt):
+    """Stateless-task variant of LocalGiantExtractor (per-worker cached —
+    parser state builds once per worker process, not per batch)."""
+
+    def local_giant(batch: pa.Table) -> pa.Table:
+        ext = _LOCAL_GIANT_CACHE.get((cfg, fmt))
+        if ext is None:
+            ext = _LOCAL_GIANT_CACHE[(cfg, fmt)] = LocalGiantExtractor(cfg, fmt)
+        return ext(batch)
+
+    return local_giant
+
+
 def _bucketed_reassembler(fmt):
     """Per-bucket reassembly: sort the bucket by (doc_id, chunk_id), slice
     per doc, run the single-doc reassembler in-process."""
     import numpy as np
 
     inner = make_reassembler(fmt)
+    out_schema = result_schema(fmt)
 
     def reasm_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:  # map_batches (local mode) can deliver empty batches
+            return out_schema.empty_table()
         g = g.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         bounds = np.nonzero(np.concatenate(([True], ids[1:] != ids[:-1])))[0]

@@ -184,3 +184,15 @@ def test_ocr_languages_change_output():
     assert a["spans"][1]["text"] == "[ocr eng img-1]"
     assert b["spans"][1]["text"] == "[ocr eng+deu img-1]"
     assert a["spans"] != b["spans"]
+
+
+def test_bucketed_reassembly_matches_local(ray_session, corpus_dir, default_out):
+    # giant_reassembly="bucketed" (the mega-doc-skew path: one groupby
+    # shuffle) must produce identical results to the default local path
+    cfg = PipelineConfig(extractor_concurrency=(1, 2), giant_reassembly="bucketed")
+    out = build_extraction(corpus_dir, cfg).to_pandas()
+    exp = default_out.sort_values("doc_id").reset_index(drop=True)
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert got["markdown"].tolist() == exp["markdown"].tolist()
+    assert [norm_spans(s) for s in got["spans"]] == [norm_spans(s) for s in exp["spans"]]
+    assert got["status"].tolist() == exp["status"].tolist()
