@@ -1425,3 +1425,114 @@ def q_dup_clusters(sf_dir: str):
 
 
 QUERIES["q_dup_clusters"] = q_dup_clusters
+
+
+# ---------------------------------------------------------------------------
+# Curation flagship: the standard pre-training data-prep chain — quality
+# bounds + language-ID + repetition filter + exact dedup — composed as ONE
+# streaming pipeline. Every signal is computed in a single fused
+# map_batches pass (no intermediate materialization), filters apply
+# in-stage (rows drop before they ever hit the wire), and the only
+# shuffle is the dedup's key-bucketed arg-min. Mirrors the C4/Gopher
+# cleanup recipe shape over this corpus's signals.
+
+CURATION_MIN_CHARS = 100
+CURATION_MAX_CHARS = 500
+CURATION_LANG = "en"
+
+
+class CurationSignals:
+    """Fused per-batch signal computation + filtering (state: compiled
+    regex + language profiles, built once per worker)."""
+
+    def __init__(self):
+        self.langid = LangId()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # language-ID (reuses the LangId kernel for oracle agreement)
+        pred = self.langid(t)["predicted"]
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        # repetition signals (same kernel as q_doc_repetition)
+        col = (
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray)
+            else t["text"]
+        )
+        trimmed = pc.utf8_trim_whitespace(col)
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n_words = np.where(empty, 0, raw_lens)
+        flat = pc.list_flatten(toks)
+        codes = (
+            pc.dictionary_encode(flat)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64), raw_lens)
+        valid = ~empty[doc_idx]
+        doc_idx, codes = doc_idx[valid], codes[valid]
+        top = np.zeros(len(n_words), dtype=np.int64)
+        if codes.size:
+            k = int(codes.max()) + 1
+            pairs, pair_counts = np.unique(doc_idx * k + codes, return_counts=True)
+            pair_doc = pairs // k
+            starts = np.flatnonzero(np.r_[True, pair_doc[1:] != pair_doc[:-1]])
+            top[pair_doc[starts]] = np.maximum.reduceat(pair_counts, starts)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "hkey": pa.array(
+                    # signed-63-bit: key_bucketed/bucket_col take int64
+                    [_stable_hash64(x) >> 1 for x in t["text"].to_pylist()],
+                    pa.int64(),
+                ),
+                "predicted": pred,
+                "n_chars": n_chars,
+                "n_words": pa.array(n_words, pa.int64()),
+                "top_word_count": pa.array(top, pa.int64()),
+            }
+        )
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        keep = (
+            (np.asarray(pred) == CURATION_LANG)
+            & (nc >= CURATION_MIN_CHARS)
+            & (nc <= CURATION_MAX_CHARS)
+            & (top * 5 < n_words)
+        )
+        return out.filter(pa.array(keep))
+
+
+def q_doc_curation(sf_dir: str):
+    # "lang" rides along only because the LangId kernel's schema needs it
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    sig = ds.map_batches(_cached_stage(CurationSignals), batch_format="pyarrow")
+
+    def dedup_min(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["hkey", "doc_id"]).drop_duplicates("hkey", keep="first")
+        return g.drop(columns=["hkey"])
+
+    return key_bucketed(sig, "hkey", dedup_min)
+
+
+# The oracle partitions the dedup by full text; the engine by a 64-bit
+# stable content hash — identical results absent a 64-bit collision
+# (same assumption EXACT_DEDUP_SQL makes of md5).
+def _curation_sql() -> str:
+    return f"""
+WITH lid AS ({_langid_sql()}),
+rep AS ({REPETITION_SQL})
+SELECT d.doc_id, lid.predicted, length(d.text) AS n_chars,
+       rep.n_words, rep.top_word_count
+FROM documents d
+JOIN lid ON lid.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+WHERE lid.predicted = '{CURATION_LANG}'
+  AND length(d.text) BETWEEN {CURATION_MIN_CHARS} AND {CURATION_MAX_CHARS}
+  AND rep.top_word_count * 5 < rep.n_words
+QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1
+"""
+
+
+QUERIES["q_doc_curation"] = q_doc_curation
+ORACLE["q_doc_curation"] = _curation_sql()

@@ -47,6 +47,7 @@ _PRIORITY = (
     "q_doc_tfidf",
     "q_word_topk",
     # new operators in r03 — need first driver evidence
+    "q_doc_curation",
     "q_doc_repetition",
     "q_doc_pack_sequences",
     "q_doc_decontaminate",
