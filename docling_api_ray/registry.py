@@ -67,23 +67,26 @@ _PRIORITY = (
     "q1_pricing_summary",
     "q6_revenue_filter",
     "q10_returned_items",
+    "q_doc_exact_dedup",
+    "q_doc_token_counts",
+    "q_doc_quality",
+    "q_doc_langid",
     "q_semi_join_customers",
     "q_anti_join_customers",
     "q_set_ops_customers",
-    "q_intersect_customers",
-    "q_union_distinct_customers",
     "q_sort_topk_lineitem",
     "q_events_sessionize",
     "q_events_asof",
     "q_events_sliding",
     "q_events_funnel",
+    "q_quantity_quantiles_by_flag",
+    # below here = past the driver's ~50-entry window: repeatedly-green
+    # (r01+r02), unchanged entries and rows-only twins of SQL-checked ops
+    "q_intersect_customers",
+    "q_union_distinct_customers",
     "q_events_retention",
     "q_events_lag_delta",
     "q_orders_pivot",
-    "q_quantity_quantiles_by_flag",
-    "q_doc_token_counts",
-    "q_doc_quality",
-    "q_doc_exact_dedup",
     "q_doc_lang_stats",
     "q_doc_simhash",
     "q_doc_simhash_pairs",
