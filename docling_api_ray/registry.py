@@ -52,6 +52,7 @@ _PRIORITY = (
     "q_doc_pack_sequences",
     "q_doc_decontaminate",
     "q_dup_clusters",
+    "q_price_quantiles_sketch",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",

@@ -59,3 +59,22 @@ def test_embedding_clusters_partition_and_determinism(ray_session):
     assert a["n_members"].sum() == n  # every vector in exactly one cluster
     b = q_embedding_clusters(SF).to_pandas().sort_values("cluster").reset_index(drop=True)
     assert a.equals(b)  # seeded training → deterministic assignment
+
+
+def test_price_quantiles_sketch_rank_error(ray_session):
+    """The mergeable rank-space sketch's answers must sit within ~1% rank
+    of the true quantiles of l_extendedprice (k=256 → ε ≈ 0.2% theory;
+    1% gives slack for the integer rank conventions at the tails)."""
+    import duckdb
+
+    from docling_api_ray.pipelines.analytics import q_price_quantiles_sketch
+
+    got = q_price_quantiles_sketch(SF).to_pandas()
+    con = duckdb.connect()
+    for _, row in got.iterrows():
+        q, v = float(row["q"]), float(row["value"])
+        rank = con.execute(
+            f"SELECT avg(CASE WHEN l_extendedprice <= {v} THEN 1.0 ELSE 0.0 END) "
+            f"FROM read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+        assert abs(rank - q) <= 0.01, f"q={q}: value {v} has true rank {rank:.4f}"
