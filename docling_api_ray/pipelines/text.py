@@ -1156,6 +1156,114 @@ ORACLE["q_word_topk"] = WORD_TOPK_SQL
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters with an EXACT answer at sketch cost (the scale path where
+# a full term groupby is the bottleneck): per-batch exact counts compress
+# to K weighted counters (Misra-Gries reduction — subtract the (K+1)-th
+# largest count, drop non-positive; undercount ≤ n_batch/(K+1)), the
+# sketch rows merge in one term groupby whose size is bounded by
+# K × n_batches (not vocabulary), a guarantee filter extracts a candidate
+# SUPERSET (any term with true share ≥ PHI survives because summed
+# undercount ≤ N/(K+1) < PHI·N), and a second exact pass counts ONLY the
+# broadcast candidates — so the final output equals the exact SQL answer
+# (HAVING count ≥ PHI·total) while no stage ever holds the full
+# vocabulary. Candidates are output-bounded: ≤ 1/(PHI − 1/(K+1)) terms.
+
+HH_PHI = 0.01  # support threshold: term share of total token stream
+HH_K = 256  # counters kept per batch sketch; needs K+1 > 1/PHI
+
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries reduction of an exact (term, count) histogram to ≤k
+    counters: subtract the (k+1)-th largest count from all, keep
+    positives. Per-term undercount ≤ total/(k+1)."""
+    if len(terms) <= k:
+        return terms, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    adj = counts - kth
+    keep = adj > 0
+    return terms[keep], adj[keep]
+
+
+def q_word_heavy_hitters(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["text"])
+    word = re.compile(r"\w+", re.ASCII)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for text in t["text"].to_pylist():
+            c.update(word.findall(text.lower()))
+        total = sum(c.values())
+        terms = np.array(list(c.keys()), dtype=object)
+        counts = np.array(list(c.values()), dtype=np.int64)
+        terms, counts = _mg_compress(terms, counts, HH_K)
+        # sentinel "" carries the batch's exact token total ("" never
+        # matches \w+ so it cannot collide with a real term)
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + [""], pa.string()),
+                "w": pa.array(list(counts) + [total], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()  # bounded: ≤ HH_K × n_batches rows, NOT vocabulary
+    )
+    n_total = merged.filter(lambda r: r["term"] == "").take_all()[0]["w"]
+    floor = (HH_PHI - 1.0 / (HH_K + 1)) * n_total
+    cand = {
+        r["term"]
+        for r in merged.filter(
+            lambda r: r["term"] != "" and r["w"] >= floor
+        ).take_all()  # output-bounded: ≤ 1/(PHI − 1/(K+1)) terms
+    }
+
+    def exact_pass(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for text in t["text"].to_pylist():
+            for tok in word.findall(text.lower()):
+                if tok in cand:
+                    c[tok] += 1
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(exact_pass, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    thresh = HH_PHI * n_total
+    return out.filter(lambda r: r["n"] >= thresh).sort(
+        ["n", "term"], descending=[True, False]
+    )
+
+
+HH_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS t FROM documents
+)
+SELECT t AS term, count(*) AS n
+FROM toks
+GROUP BY t
+HAVING count(*) >= {HH_PHI} * (SELECT count(*) FROM toks)
+ORDER BY n DESC, t
+"""
+
+QUERIES["q_word_heavy_hitters"] = q_word_heavy_hitters
+ORACLE["q_word_heavy_hitters"] = HH_SQL
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
 # Models: ... Gopher", §A1.1 quality heuristics): documents dominated by a
 # few repeated tokens are low-quality training data. Per-doc integer

@@ -53,6 +53,7 @@ _PRIORITY = (
     "q_doc_decontaminate",
     "q_dup_clusters",
     "q_price_quantiles_sketch",
+    "q_word_heavy_hitters",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",

@@ -78,3 +78,30 @@ def test_price_quantiles_sketch_rank_error(ray_session):
             f"FROM read_parquet('{SF}/lineitem.parquet')"
         ).fetchone()[0]
         assert abs(rank - q) <= 0.01, f"q={q}: value {v} has true rank {rank:.4f}"
+
+
+def test_mg_compress_undercount_bound():
+    """Misra-Gries reduction: every surviving counter undercounts by at
+    most total/(k+1), and every dropped term had true count ≤ that bound
+    — the two facts the heavy-hitters candidate filter relies on."""
+    import numpy as np
+
+    from docling_api_ray.pipelines.text import _mg_compress
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish skew: a few heavy terms over a long uniform tail
+    counts = np.concatenate(
+        [rng.integers(5_000, 20_000, 5), rng.integers(1, 50, 2_000)]
+    ).astype(np.int64)
+    terms = np.array([f"t{i}" for i in range(len(counts))], dtype=object)
+    for k in (8, 64, 256):
+        kt, kc = _mg_compress(terms, counts, k)
+        assert len(kt) <= k
+        bound = counts.sum() / (k + 1)
+        true = dict(zip(terms, counts))
+        kept = dict(zip(kt, kc))
+        for t, w in kept.items():
+            assert 0 < w <= true[t] and true[t] - w <= bound
+        for t, c in true.items():
+            if t not in kept:
+                assert c <= bound
