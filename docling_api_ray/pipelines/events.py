@@ -402,9 +402,80 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: events.props is a JSON string column; pull a
+# typed field out of it with ONE vectorized RE2 kernel (pc.extract_regex)
+# instead of a per-row json.loads — the Arrow-native way to scan JSON
+# payloads at 100 TB when only one field is needed. Mirrors the reference's
+# result-normalization (nested payload → typed columns); parity gate is
+# DuckDB's real JSON parser, so the regex shortcut is proven equivalent on
+# the data it claims to handle.
+
+_PROPS_K = r'"k":\s*(?P<k>-?\d+)'
+
+
+def q_events_json_extract(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], _PROPS_K)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="k_sum"),
+            Mean("k", alias_name="k_avg"),
+        )
+    )
+    return out.map_batches(lambda t: round_col(t, "k_avg", 4), batch_format="pyarrow")
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction: mask every digit run in a string column with a
+# single vectorized replace_substring_regex pass (the scrub-before-training
+# move; compiled RE2, no Python rows). Arrow and DuckDB both run RE2, so
+# the oracle checks the exact masked strings.
+
+def q_events_scrub(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["event_id", "props"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "props_scrubbed": pc.replace_substring_regex(
+                    t["props"], r"\d+", "#"
+                ),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+SCRUB_SQL = r"""
+SELECT event_id, regexp_replace(props, '\d+', '#', 'g') AS props_scrubbed
+FROM events
+"""
+
+
 QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_funnel": q_events_funnel,
+    "q_events_json_extract": q_events_json_extract,
+    "q_events_scrub": q_events_scrub,
     "q_events_hourly": q_events_hourly,
     "q_events_user_stats": q_events_user_stats,
     "q_events_sessionize": q_events_sessionize,
@@ -416,6 +487,8 @@ QUERIES = {
 
 ORACLE = {
     "q_events_asof": ASOF_SQL,
+    "q_events_json_extract": JSON_EXTRACT_SQL,
+    "q_events_scrub": SCRUB_SQL,
     "q_events_funnel": FUNNEL_SQL,
     "q_events_hourly": HOURLY_SQL,
     "q_events_user_stats": USER_STATS_SQL,

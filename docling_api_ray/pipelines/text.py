@@ -972,6 +972,58 @@ QUERIES["q_doc_stratified_sample"] = q_doc_stratified_sample
 ORACLE["q_doc_stratified_sample"] = STRATIFIED_SAMPLE_SQL
 
 
+# ---------------------------------------------------------------------------
+# Mixture resampling (domain/language balancing): downsample every lang
+# group to the size of the SMALLEST group, the data-mixing move a training
+# pipeline makes before interleaving domains. Group counts come from a
+# lang-grained groupby (output-bounded — one row per language) and become
+# per-group acceptance thresholds on the same partition-invariant
+# hash-of-key filter the samplers use, so the resample itself is a
+# shuffle-free streaming filter: no sort, no per-group materialization.
+# Thresholds are 8-hex-digit strings (fixed-width lowercase hex compares
+# lexicographically == numerically), so DuckDB can reproduce the exact
+# accept set with printf('%08x', ...).
+
+_MIX_DEN = 4294967296.0  # 16^8 — md5's first 8 hex digits as a fraction
+
+
+def q_doc_mixture_resample(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    counts = {
+        r["lang"]: r["n"]
+        for r in ds.groupby("lang").aggregate(Count(alias_name="n")).take_all()
+    }
+    mc = min(counts.values())
+    thr = {
+        lang: (None if c == mc else format(int(np.floor(mc * _MIX_DEN / c)), "08x"))
+        for lang, c in counts.items()
+    }
+
+    def samp(t: pa.Table) -> pa.Table:
+        keep = [
+            thr[lang] is None
+            or hashlib.md5(str(d).encode()).hexdigest()[:8] < thr[lang]
+            for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist())
+        ]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+MIXTURE_SQL = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+     m AS (SELECT min(cnt) AS mc FROM c)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE c.cnt = m.mc
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(m.mc * 4294967296.0 / c.cnt) AS BIGINT))
+"""
+
+QUERIES["q_doc_mixture_resample"] = q_doc_mixture_resample
+ORACLE["q_doc_mixture_resample"] = MIXTURE_SQL
+
+
 def q_doc_explode_tokens(sf_dir: str):
     """Explode (flat_map / UNNEST): one output row per token with its
     position — the row-multiplying transform. Fully vectorized: Arrow

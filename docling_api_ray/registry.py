@@ -54,6 +54,9 @@ _PRIORITY = (
     "q_dup_clusters",
     "q_price_quantiles_sketch",
     "q_word_heavy_hitters",
+    "q_events_json_extract",
+    "q_events_scrub",
+    "q_doc_mixture_resample",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",
