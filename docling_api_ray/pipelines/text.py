@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 from ray.data.aggregate import Count, Min, Sum
 
 from .join import adaptive_n_buckets, bucket_col, table_bytes
@@ -1313,6 +1314,105 @@ ORDER BY n DESC, t
 
 QUERIES["q_word_heavy_hitters"] = q_word_heavy_hitters
 ORACLE["q_word_heavy_hitters"] = HH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (the CCNet-style curation filter: score each
+# document by its average token log-probability under a corpus-level
+# language model, then keep/bucket by score). Pass 1 builds the model with
+# the word-count combiner (term-grained groupby — never the token stream);
+# the model is CAPPED at the LM_TOP_V most frequent terms (deterministic
+# count-desc/term-asc tie-break) so the broadcast stays bounded no matter
+# the corpus vocabulary — rarer terms fall into one smoothed OOV bucket.
+# Pass 2 broadcasts the model once (ray.put; plasma-local per worker) and
+# streams documents through a scoring map_batches. Laplace smoothing:
+# p(t) = (count(t)+1)/(N+V) with V = TOTAL distinct terms, so scores are
+# identical whether or not the cap binds on terms the doc doesn't use.
+
+LM_TOP_V = 65536
+
+
+def q_doc_lm_score(sf_dir: str, top_v: int = LM_TOP_V):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    word = re.compile(r"\w+", re.ASCII)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for text in t["text"].to_pylist():
+            c.update(word.findall(text.lower()))
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # term-grained (vocabulary), reused by 2 consumers
+    )
+    stats = counts.aggregate(Sum("n", alias_name="N"), Count(alias_name="NV"))
+    n_total, n_vocab = stats["N"], stats["NV"]
+    top = (
+        counts.sort(["n", "term"], descending=[True, False])
+        .limit(top_v)
+        .take_all()  # bounded by top_v regardless of corpus size
+    )
+    denom = float(n_total + n_vocab)
+    model = {r["term"]: np.log((r["n"] + 1.0) / denom) for r in top}
+    oov = float(np.log(1.0 / denom))
+    ref = ray.put((model, oov))
+
+    def score(t: pa.Table) -> pa.Table:
+        mdl, o = ray.get(ref)
+        ids, scores = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = word.findall(text.lower())
+            if not toks:
+                continue  # SQL's GROUP BY over the token stream drops them too
+            s = 0.0
+            for tok in toks:
+                s += mdl.get(tok, o)
+            ids.append(d)
+            scores.append(s / len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lm_score": pa.array(np.round(np.array(scores), 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lm_score_sql(top_v: int) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents
+),
+counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+tot AS (SELECT count(*) AS n FROM toks),
+vocab AS (SELECT count(*) AS nv FROM counts),
+model AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT {top_v})
+SELECT toks.doc_id,
+       round(avg(ln((coalesce(model.c, 0) + 1.0) / (tot.n + vocab.nv))), 4)
+           AS lm_score
+FROM toks
+LEFT JOIN model ON toks.t = model.t
+CROSS JOIN tot CROSS JOIN vocab
+GROUP BY toks.doc_id
+"""
+
+
+LM_SCORE_SQL = lm_score_sql(LM_TOP_V)
+
+QUERIES["q_doc_lm_score"] = q_doc_lm_score
+ORACLE["q_doc_lm_score"] = LM_SCORE_SQL
 
 
 # ---------------------------------------------------------------------------

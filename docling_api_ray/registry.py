@@ -57,6 +57,7 @@ _PRIORITY = (
     "q_events_json_extract",
     "q_events_scrub",
     "q_doc_mixture_resample",
+    "q_doc_lm_score",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",

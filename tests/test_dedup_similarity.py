@@ -117,3 +117,29 @@ def test_dup_clusters_invariants(ray_session):
         assert int(grp.loc[grp["is_canonical"] == 1, "doc_id"].iloc[0]) == cid
     # members are exactly the union of pair endpoints
     assert set(t["doc_id"]) == set(pairs["doc_a"]) | set(pairs["doc_b"])
+
+
+def test_lm_score_cap_binds_same_as_sql(ray_session):
+    """With the model capped far below the vocabulary (top_v=5), most
+    tokens fall into the smoothed OOV bucket — the 100 TB scale path.
+    The engine must still match DuckDB running the same capped model."""
+    import duckdb
+
+    from docling_api_ray.pipelines.text import lm_score_sql, q_doc_lm_score
+
+    got = (
+        q_doc_lm_score(SF, top_v=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(lm_score_sql(5)).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["doc_id"] == want["doc_id"]).all()
+    assert (got["lm_score"] == want["lm_score"]).all()
