@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Mean, Sum
 
 from .util import agg_to_table, key_bucketed, read, round_col
+from .util import splitmix64 as _splitmix64  # shared sketch hash (HLL, Bloom)
 
 # ---------------------------------------------------------------------------
 # ROLLUP (grouping sets): orders by (priority, year), (priority), ()
@@ -346,12 +347,6 @@ HLL_P = 12
 HLL_M = 1 << HLL_P
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    with np.errstate(over="ignore"):
-        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
 
 
 def _hll_partial(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

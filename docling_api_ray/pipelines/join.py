@@ -43,6 +43,14 @@ def table_bytes(sf_dir: str, *names: str) -> int:
     return total
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata (no data read)."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    return pq.ParquetFile(p).metadata.num_rows
+
+
 def adaptive_n_buckets(
     est_bytes: int, target: int = TARGET_BUCKET_BYTES, lo: int = 16, hi: int = 1 << 16
 ) -> int:
@@ -284,3 +292,120 @@ def bucketed_union_keys(
 ) -> rd.Dataset:
     """Distributed UNION DISTINCT (see _bucketed_set_op)."""
     return _bucketed_set_op(tagged_keys_ds, key, n_buckets, "union")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi/anti join: when the keys side is too large for a
+# driver dict but its BITS fit in a broadcast (~1.2 bytes/key at 1% false
+# positives), a Bloom filter built over the keys lets the fact side drop
+# non-members BEFORE the all-to-all — the semi-join's shuffle volume
+# shrinks from |fact| to |matches| + false positives. For ANTI joins the
+# payoff is larger: a Bloom miss PROVES non-membership, so those rows
+# bypass the shuffle entirely and only Bloom hits pay the exact
+# resolution. Exactness is preserved either way — the bucketed join still
+# resolves every row the filter lets through.
+
+BLOOM_N_HASHES = 4
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """(len(keys), BLOOM_N_HASHES) bit positions via double hashing:
+    idx_i = (h1 + i*h2) mod m, h1/h2 from two SplitMix64 streams."""
+    from .util import splitmix64
+
+    k = keys.astype(np.uint64)
+    h1 = splitmix64(k)
+    with np.errstate(over="ignore"):
+        h2 = splitmix64(k ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        i = np.arange(BLOOM_N_HASHES, dtype=np.uint64)
+        return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+            np.int64
+        )
+
+
+def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
+    """OR-merge per-batch Bloom bitmaps into one uint64 word array. The
+    driver holds m_bits/8 bytes — sized by the FILTER, not the key count
+    (pick m_bits ≈ 10× expected distinct keys for ~1% false positives).
+    Each batch's partial is a sparse position list (positions are ≤
+    BLOOM_N_HASHES × batch rows — batch-bounded), so the object store
+    never carries full bitmaps."""
+    words = (m_bits + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.unique(_bloom_positions(vals, m_bits).ravel())
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    bitmap = np.zeros(words, dtype=np.uint64)
+    for batch in keys_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(
+            bitmap, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+    return bitmap
+
+
+def bloom_contains(bitmap: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """Vectorized membership test; False is definite, True is probable."""
+    pos = _bloom_positions(keys.astype(np.int64), m_bits)
+    bits = (bitmap[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def bloom_semi_anti(
+    fact_ds: rd.Dataset,
+    fact_key: str,
+    keys_ds: rd.Dataset,
+    keys_key: str,
+    n_buckets: int,
+    m_bits: int,
+    anti: bool = False,
+    fact_schema: pa.Schema | None = None,
+    post=None,
+) -> rd.Dataset:
+    """bucketed_semi_anti with a Bloom prefilter on the fact side.
+
+    semi: only probable members enter the shuffle (exact resolution
+    unchanged). anti: definite non-members (Bloom misses) stream straight
+    through — with `post` applied batch-wise — and only the probable
+    members pay the bucketed exact anti-join; the two streams union.
+    `post`, when given, must be a per-row-set transform that is valid on
+    any partition of the rows (e.g. a projection or a mergeable partial)."""
+    import ray
+
+    bm_ref = ray.put(build_bloom(keys_ds, keys_key, m_bits))
+
+    def keep_probable(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bm = _ray.get(bm_ref)
+        vals = t[fact_key].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(bloom_contains(bm, vals, m_bits)))
+
+    probable = fact_ds.map_batches(keep_probable, batch_format="pyarrow")
+    resolved = bucketed_semi_anti(
+        probable,
+        fact_key,
+        keys_ds,
+        keys_key,
+        n_buckets,
+        anti=anti,
+        fact_schema=fact_schema,
+        post=post,
+    )
+    if not anti:
+        return resolved
+
+    def keep_misses(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bm = _ray.get(bm_ref)
+        vals = t[fact_key].to_numpy(zero_copy_only=False)
+        out = t.filter(pa.array(~bloom_contains(bm, vals, m_bits)))
+        return post(out) if post is not None else out
+
+    misses = fact_ds.map_batches(keep_misses, batch_format="pyarrow")
+    return misses.union(resolved)

@@ -76,3 +76,14 @@ def key_bucketed(
         .groupby("__kb")
         .map_groups(run, batch_format="pandas")
     )
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 finalizer over uint64 — the shared stateless
+    hash for sketches (HLL registers, Bloom bits). Stable across processes,
+    unlike Python's salted hash()."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))

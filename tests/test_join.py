@@ -55,3 +55,61 @@ def test_bucketed_join_string_keys(ray_session):
     df = _join("inner", string_key=True)
     assert df["lv"].tolist() == [2, 3, 4]
     assert df["rv"].tolist() == [20, 30, 30]
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from docling_api_ray.pipelines.join import bloom_contains, _bloom_positions
+
+    rng = np.random.default_rng(11)
+    members = rng.integers(0, 2**62, 5_000).astype(np.int64)
+    m_bits = 16 * len(members)
+    # build bitmap directly (the driver-side OR path is exercised below)
+    words = (m_bits + 63) // 64
+    bm = np.zeros(words, dtype=np.uint64)
+    pos = np.unique(_bloom_positions(members, m_bits).ravel())
+    np.bitwise_or.at(bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    assert bloom_contains(bm, members, m_bits).all()  # no false negatives
+    probe = rng.integers(0, 2**62, 20_000).astype(np.int64)
+    outside = probe[~np.isin(probe, members)]
+    fp = bloom_contains(bm, outside, m_bits).mean()
+    assert fp < 0.01, fp
+
+
+def test_bloom_semi_anti_matches_exact(ray_session):
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from docling_api_ray.pipelines.join import bloom_semi_anti, bucketed_semi_anti
+
+    rng = np.random.default_rng(3)
+    fact = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rng.integers(0, 400, 3_000), pa.int64()),
+                "v": pa.array(rng.normal(size=3_000)),
+            }
+        )
+    )
+    keys = rd.from_arrow(
+        pa.table({"j": pa.array(rng.choice(400, 60, replace=False), pa.int64())})
+    )
+    schema = pa.schema([("k", pa.int64()), ("v", pa.float64())])
+    for anti in (False, True):
+        got = (
+            bloom_semi_anti(
+                fact, "k", keys, "j", 16, m_bits=1 << 12, anti=anti,
+                fact_schema=schema,
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        want = (
+            bucketed_semi_anti(fact, "k", keys, "j", 16, anti=anti, fact_schema=schema)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), f"anti={anti}"
