@@ -647,3 +647,69 @@ def q_price_quantiles_sketch(sf_dir: str):
 
 
 QUERIES["q_price_quantiles_sketch"] = q_price_quantiles_sketch
+
+
+# ---------------------------------------------------------------------------
+# GROUPED approx-distinct (HLL as a grouped aggregation): per batch, one
+# dense (groups-in-batch × 2^P) register sheet takes vectorized maxima,
+# emitting only non-zero (group, register, rho) rows; the merge is a
+# register-grained groupby whose size is bounded by n_groups × 2^P — never
+# by the value stream. Per-group estimation touches 2^P rows per group.
+# The grouped form of q_orders_distinct_custkeys_hll; pytest-gated ≤5%
+# against exact per-group distincts (approximate ⇒ no SQL oracle).
+
+
+def q_events_user_hll(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = et.dictionary_encode()
+        gcodes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gnames = d.dictionary.to_pylist()
+        vals = t["user_id"].to_numpy(zero_copy_only=False)
+        h = _splitmix64(vals.astype(np.uint64))
+        idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - HLL_P)) - 1)
+        bits = 64 - HLL_P
+        lead = np.where(
+            w > 0,
+            bits
+            - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))).astype(np.int64),
+            bits + 1,
+        )
+        sheet = np.zeros((len(gnames), HLL_M), dtype=np.int64)
+        np.maximum.at(sheet, (gcodes, idx), lead)
+        g_nz, r_nz = np.nonzero(sheet)
+        return pa.table(
+            {
+                "event_type": pa.array([gnames[g] for g in g_nz], pa.string()),
+                "reg": pa.array(r_nz, pa.int64()),
+                "rho": pa.array(sheet[g_nz, r_nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(HLL_M, dtype=np.int64)
+        regs[g["reg"].to_numpy()] = g["rho"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "approx_distinct_users": [int(round(hll_estimate(regs)))],
+            }
+        )
+
+    return merged.groupby("event_type").map_groups(estimate, batch_format="pandas")
+
+
+QUERIES["q_events_user_hll"] = q_events_user_hll

@@ -437,7 +437,8 @@ def q_events_json_extract(sf_dir: str):
 JSON_EXTRACT_SQL = """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS k_avg
 FROM events GROUP BY event_type
 """

@@ -1332,7 +1332,7 @@ ORACLE["q_word_heavy_hitters"] = HH_SQL
 LM_TOP_V = 65536
 
 
-def q_doc_lm_score(sf_dir: str, top_v: int = LM_TOP_V):
+def lm_score_pipeline(sf_dir: str, top_v: int):
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
     word = re.compile(r"\w+", re.ASCII)
 
@@ -1387,6 +1387,10 @@ def q_doc_lm_score(sf_dir: str, top_v: int = LM_TOP_V):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_doc_lm_score(sf_dir: str):
+    return lm_score_pipeline(sf_dir, LM_TOP_V)
 
 
 def lm_score_sql(top_v: int) -> str:

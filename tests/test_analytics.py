@@ -105,3 +105,26 @@ def test_mg_compress_undercount_bound():
         for t, c in true.items():
             if t not in kept:
                 assert c <= bound
+
+
+def test_events_user_hll_within_5pct(ray_session):
+    """Grouped HLL estimates must land within 5% of the exact per-group
+    distinct counts (2^12 registers → ~1.6% theoretical error)."""
+    import duckdb
+
+    from docling_api_ray.pipelines.analytics import q_events_user_hll
+
+    got = {
+        r["event_type"]: r["approx_distinct_users"]
+        for r in q_events_user_hll(SF).take_all()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT event_type, count(DISTINCT user_id) "
+            f"FROM read_parquet('{SF}/events.parquet') GROUP BY event_type"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for et, exact in want.items():
+        assert abs(got[et] - exact) <= max(1, 0.05 * exact), (et, got[et], exact)

@@ -125,10 +125,10 @@ def test_lm_score_cap_binds_same_as_sql(ray_session):
     The engine must still match DuckDB running the same capped model."""
     import duckdb
 
-    from docling_api_ray.pipelines.text import lm_score_sql, q_doc_lm_score
+    from docling_api_ray.pipelines.text import lm_score_pipeline, lm_score_sql
 
     got = (
-        q_doc_lm_score(SF, top_v=5)
+        lm_score_pipeline(SF, top_v=5)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
