@@ -409,3 +409,52 @@ def bloom_semi_anti(
 
     misses = fact_ds.map_batches(keep_misses, batch_format="pyarrow")
     return misses.union(resolved)
+
+
+def bucketed_bag_op(
+    tagged_keys_ds: rd.Dataset, key: str, n_buckets: int, op: str
+) -> rd.Dataset:
+    """Bag-semantics set ops (SQL's INTERSECT ALL / EXCEPT ALL) over a
+    pre-tagged key stream (`key`, `__side` int8). Multiplicities are
+    pre-aggregated per batch (combiner: the shuffle carries per-batch
+    (key, side, cnt) rows, not the raw stream), merged in ONE bucketed
+    groupby, and the result multiplicity expands with np.repeat:
+
+    op='intersect_all' → each key min(count_left, count_right) times
+    op='except_all'    → each key max(count_left - count_right, 0) times
+    """
+    assert op in ("intersect_all", "except_all"), op
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key, "__side"]).aggregate([([], "count_all")])
+        cnt = g["count_all"]
+        out = pa.table(
+            {
+                key: g[key],
+                "__side": g["__side"],
+                "__cnt": pc.cast(cnt, pa.int64()),
+            }
+        )
+        return out.append_column("__bucket", bucket_col(out[key], n_buckets))
+
+    def resolve(g: pa.Table) -> pa.Table:
+        keys = g[key].to_numpy(zero_copy_only=False)
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        cnt = g["__cnt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        cl = np.zeros(len(uniq), dtype=np.int64)
+        cr = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cl, inv[side == 0], cnt[side == 0])
+        np.add.at(cr, inv[side == 1], cnt[side == 1])
+        mult = (
+            np.minimum(cl, cr)
+            if op == "intersect_all"
+            else np.maximum(cl - cr, 0)
+        )
+        return pa.table({key: pa.array(np.repeat(uniq, mult), pa.int64())})
+
+    return (
+        tagged_keys_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -1102,6 +1102,39 @@ GROUP BY c_mktsegment
 """
 
 
+def q_intersect_all_custkeys(sf_dir: str):
+    """Bag-semantics INTERSECT ALL (multiplicities matter): custkeys
+    counted min(urgent_orders, low_orders) times each. The bag op expands
+    multiplicities with np.repeat inside the bucket; this query then
+    re-counts the expanded stream per key, so the oracle checks the
+    expansion itself, not just the min() arithmetic."""
+    from .join import bucketed_bag_op
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders"))
+    bag = bucketed_bag_op(_tagged_priority_keys(sf_dir), "key", nb, "intersect_all")
+
+    def recount(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([([], "count_all")])
+        return pa.table(
+            {"key": g["key"], "mult": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return (
+        bag.map_batches(recount, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("mult", alias_name="mult"))
+    )
+
+
+INTERSECT_ALL_SQL = """
+SELECT key, count(*) AS mult FROM (
+    SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+) GROUP BY key
+"""
+
+
 def _q_union_distinct_wrapped(sf_dir: str):
     # Dataset.count() (exact row count of the distinct-key stream); the
     # Count() aggregate returns 0 on map_groups-produced datasets in Ray
@@ -1122,5 +1155,7 @@ SELECT count(*) AS n_distinct_either FROM (
 
 QUERIES["q_intersect_customers"] = q_intersect_customers
 ORACLE["q_intersect_customers"] = INTERSECT_SQL
+QUERIES["q_intersect_all_custkeys"] = q_intersect_all_custkeys
+ORACLE["q_intersect_all_custkeys"] = INTERSECT_ALL_SQL
 QUERIES["q_union_distinct_customers"] = _q_union_distinct_wrapped
 ORACLE["q_union_distinct_customers"] = UNION_DISTINCT_SQL

@@ -113,3 +113,36 @@ def test_bloom_semi_anti_matches_exact(ray_session):
             .reset_index(drop=True)
         )
         assert got.equals(want), f"anti={anti}"
+
+
+def test_bucketed_bag_op_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+
+    from docling_api_ray.pipelines.join import bucketed_bag_op
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 50, 400).astype("int64")
+    b = rng.integers(0, 50, 300).astype("int64")
+    tagged = rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b]), pa.int64()),
+                "__side": pa.array([0] * len(a) + [1] * len(b), pa.int8()),
+            }
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta AS SELECT unnest(?) AS k", [a.tolist()])
+    con.execute("CREATE TABLE tb AS SELECT unnest(?) AS k", [b.tolist()])
+    for op, sql_op in (("intersect_all", "INTERSECT ALL"), ("except_all", "EXCEPT ALL")):
+        got = sorted(
+            r["key"] for r in bucketed_bag_op(tagged, "key", 8, op).take_all()
+        )
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT k FROM ta {sql_op} SELECT k FROM tb"
+            ).fetchall()
+        )
+        assert got == want, op
