@@ -327,11 +327,100 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN (the bucketed alternative to IVF): LSH_TABLES
+# independent signature tables, each LSH_BITS sign bits of projections
+# onto seeded random hyperplanes packed into one int. A row is a
+# candidate for a query if, in ANY table, its signature lands in the
+# query's probe set (own bucket + Hamming-1 bit flips). With per-bit
+# agreement p = 1 − θ/π, the miss rate decays as (1−P(≤1 flip))^L, so
+# moderately similar neighbors survive some table with high probability
+# while each table still prunes to ~(B+1)/2^B of the corpus. Candidates
+# get exact cosine scores; merge is the same partial-top-k shape as
+# q_ann_topk. The scale path when the query set is large — the signature
+# matmul is per-corpus-row once, independent of Q. pytest recall-gated
+# like IVF.
+
+LSH_BITS = 8
+LSH_TABLES = 8
+LSH_SEED = 1234
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """(LSH_TABLES, dim, LSH_BITS) seeded hyperplane stack."""
+    return np.random.default_rng(LSH_SEED).standard_normal(
+        (LSH_TABLES, dim, LSH_BITS)
+    )
+
+
+def _lsh_sigs(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(rows, LSH_TABLES) packed signatures."""
+    # (T, rows, B) sign bits → pack along B
+    bits = (np.einsum("rd,tdb->trb", mat, planes) > 0).astype(np.int64)
+    packed = (bits << np.arange(LSH_BITS, dtype=np.int64)).sum(axis=2)
+    return packed.T
+
+
+def q_ann_lsh(sf_dir: str):
+    qids, qmat = _query_matrix(sf_dir)
+    planes = _lsh_planes(qmat.shape[1])
+    qsig = _lsh_sigs(qmat, planes)  # (Q, T)
+    flips = np.concatenate(([0], 1 << np.arange(LSH_BITS, dtype=np.int64)))
+    # probe_sets[qid][t] = allowed buckets for table t
+    probe_sets = {
+        int(qid): [set(map(int, s[t] ^ flips)) for t in range(LSH_TABLES)]
+        for qid, s in zip(qids, qsig)
+    }
+    ref = ray.put((qids, qmat, planes, probe_sets))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm, pl, probes = ray.get(ref)
+        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_n, out_s = [], [], []
+        if len(vids):
+            emb = _normalize(_stack(batch["embedding"]))
+            sig = _lsh_sigs(emb, pl)  # (B, T)
+            sims = qm @ emb.T
+            for qi, qid in enumerate(ids):
+                cand = np.zeros(len(vids), dtype=bool)
+                for t in range(LSH_TABLES):
+                    cand |= np.isin(sig[:, t], list(probes[int(qid)][t]))
+                cand &= vids != qid
+                idx = np.nonzero(cand)[0]
+                if len(idx) == 0:
+                    continue
+                order = np.lexsort((vids[idx], -sims[qi][idx]))[:TOP_K]
+                sel = idx[order]
+                out_q.extend([int(qid)] * len(sel))
+                out_n.extend(vids[sel].tolist())
+                out_s.extend(sims[qi][sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+        g["sim"] = g["sim"].round(4)
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_embedding_label_stats": q_embedding_label_stats,
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_lsh": q_ann_lsh,
 }
 
 ORACLE = {

@@ -143,3 +143,19 @@ def test_lm_score_cap_binds_same_as_sql(ray_session):
     assert len(got) == len(want)
     assert (got["doc_id"] == want["doc_id"]).all()
     assert (got["lm_score"] == want["lm_score"]).all()
+
+
+def test_lsh_recall_vs_brute_force(ray_session):
+    from docling_api_ray.pipelines.similarity import q_ann_lsh, q_ann_topk
+
+    bf = q_ann_topk(SF).to_pandas()
+    lsh = q_ann_lsh(SF).to_pandas()
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    lsh_sets = lsh.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q])
+        for q in bf_sets.index
+    ]
+    assert np.mean(recalls) >= 0.5, f"LSH mean recall {np.mean(recalls):.2f}"
+    # every LSH hit must be a real vector with an exact cosine score
+    assert (lsh["sim"] <= 1.0 + 1e-9).all()
