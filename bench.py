@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "q_doc_tfidf",
     "q_orders_running_total",
     "q_lineitem_quantiles",
+    # round-3 additions
+    "q_word_heavy_hitters",
+    "q_doc_lm_score",
+    "q_semi_join_bloom",
 ]
 
 
