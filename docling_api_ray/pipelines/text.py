@@ -1692,6 +1692,118 @@ QUERIES["q_dup_clusters"] = q_dup_clusters
 
 
 # ---------------------------------------------------------------------------
+# Distributed connected components (min-label propagation) — the 100 TB
+# path for dup-cluster assignment when even the verified near-dup PAIR
+# set outgrows the driver (q_dup_clusters' union-find is output-bounded
+# but still driver-resident). Each round: every node offers its current
+# label to its neighbors through ONE bucketed equi-join, labels take the
+# min (node-grained groupby), repeat. Near-dup clusters are near-cliques
+# (diameter ≤ 2-3), so a handful of rounds converges; convergence is
+# PROVEN per run by one extra round that must change nothing — no driver
+# graph state at any point, all streams node- or edge-grained.
+
+
+def cc_min_label(pairs: "rd.Dataset", n_buckets: int, max_rounds: int = 6):
+    import ray.data as rd  # noqa: F401  (type only)
+
+    from .join import bucketed_equi_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"]
+        b = t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    (a.chunks if isinstance(a, pa.ChunkedArray) else [a])
+                    + (b.chunks if isinstance(b, pa.ChunkedArray) else [b])
+                ),
+                "dst": pa.concat_arrays(
+                    (b.chunks if isinstance(b, pa.ChunkedArray) else [b])
+                    + (a.chunks if isinstance(a, pa.ChunkedArray) else [a])
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["src"])
+        return pa.table({"node": u, "lbl": u})
+
+    # node-grained: per-batch unique then a min-merge (idempotent labels)
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .materialize()
+    )
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    lbl_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+
+    def one_round(lbls):
+        # neighbors' offers: edges ⋈ labels on src → (dst, lbl of src)
+        offers = bucketed_equi_join(
+            edges,
+            "src",
+            lbls,
+            "node",
+            edge_schema,
+            lbl_schema,
+            n_buckets,
+            post=lambda t: t.select(["dst", "lbl"]),
+        ).map_batches(
+            lambda t: t.rename_columns(["node", "lbl"]), batch_format="pyarrow"
+        )
+        return (
+            offers.union(lbls)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()  # node-grained; stops the lazy graph re-running rounds
+        )
+
+    for _ in range(max_rounds):
+        new = one_round(labels)
+        # scalar convergence probe: do any nodes still have a neighbor
+        # with a smaller label? (an extra round that must be a no-op)
+        diff = (
+            new.union(labels)
+            .groupby(["node", "lbl"])
+            .aggregate(Count(alias_name="c"))
+            .filter(lambda r: r["c"] == 1)
+            .count()
+        )
+        labels = new
+        if diff == 0:
+            return labels
+    raise RuntimeError(f"cc_min_label did not converge in {max_rounds} rounds")
+
+
+def q_dup_clusters_distributed(sf_dir: str):
+    pairs = q_doc_minhash_pairs(sf_dir)
+    labels = cc_min_label(pairs, n_buckets=64)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.rename(columns={"node": "doc_id", "lbl": "cluster_id"})
+        sizes = g.groupby("cluster_id")["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "cluster_id": g["cluster_id"].to_numpy(),
+                "cluster_size": sizes.to_numpy().astype("int64"),
+                "is_canonical": (g["doc_id"] == g["cluster_id"])
+                .to_numpy()
+                .astype("int64"),
+            }
+        )
+
+    return key_bucketed(labels, "lbl", finish)
+
+
+QUERIES["q_dup_clusters_distributed"] = q_dup_clusters_distributed
+
+
+# ---------------------------------------------------------------------------
 # Curation flagship: the standard pre-training data-prep chain — quality
 # bounds + language-ID + repetition filter + exact dedup — composed as ONE
 # streaming pipeline. Every signal is computed in a single fused

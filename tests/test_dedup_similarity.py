@@ -159,3 +159,23 @@ def test_lsh_recall_vs_brute_force(ray_session):
     assert np.mean(recalls) >= 0.5, f"LSH mean recall {np.mean(recalls):.2f}"
     # every LSH hit must be a real vector with an exact cosine score
     assert (lsh["sim"] <= 1.0 + 1e-9).all()
+
+
+def test_dup_clusters_distributed_matches_union_find(ray_session):
+    """Min-label propagation (distributed CC) must produce the exact same
+    clustering as the driver-side union-find over the same pair set."""
+    from docling_api_ray.pipelines.text import (
+        q_dup_clusters,
+        q_dup_clusters_distributed,
+    )
+
+    want = (
+        q_dup_clusters(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = (
+        q_dup_clusters_distributed(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    assert got.equals(want)
