@@ -126,8 +126,13 @@ def bucketed_equi_join(
     Generalizes the reference's DB joins (usage-by-key lookups,
     `/root/reference/api/services/key_service.py:146-164`) to fact-sized
     sides. `string_key=True` buckets via blake2b (hash_bucket_col);
-    int keys use the cheap mask bucket."""
-    assert how in ("inner", "left outer"), how
+    int keys use the cheap mask bucket.
+
+    "full outer" is exact under this partitioning too: a bucket holds
+    EVERY row of its keys from both sides, so a key unmatched in its
+    bucket is unmatched globally. acero coalesces the key columns, so
+    right-only rows carry their key in the left-key column."""
+    assert how in ("inner", "left outer", "full outer"), how
     assert left_key != right_key, "rename one side's key: names must differ"
     overlap = (set(left_schema.names) - {left_key}) & (
         set(right_schema.names) - {right_key}

@@ -1102,6 +1102,77 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# FULL OUTER join (both-sides-preserved): URGENT orders ⋈ BUILDING
+# customers on custkey. A bucket holds every row of its keys from both
+# sides, so unmatched-in-bucket = unmatched globally and the bucketed
+# pattern extends to full outer with zero extra machinery; the in-bucket
+# `post` collapses rows to match-status counts (mergeable partials), so
+# only status-grained rows leave the shuffle.
+def q_full_outer_status(sf_dir: str):
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    left = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    right = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+
+    def status_counts(t: pa.Table) -> pa.Table:
+        l = pc.is_valid(t["o_orderkey"])
+        r = pc.is_valid(t["c_mktsegment"])
+        status = pc.if_else(
+            pc.and_(l, r),
+            pa.scalar("matched"),
+            pc.if_else(l, pa.scalar("order_only"), pa.scalar("customer_only")),
+        )
+        g = (
+            pa.table({"status": status})
+            .group_by("status")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"status": g["status"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return (
+        bucketed_equi_join(
+            left,
+            "o_custkey",
+            right,
+            "c_custkey",
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+            pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+            nb,
+            how="full outer",
+            post=status_counts,
+        )
+        .groupby("status")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+FULL_OUTER_SQL = """
+SELECT CASE WHEN o.o_orderkey IS NOT NULL AND c.c_mktsegment IS NOT NULL
+            THEN 'matched'
+            WHEN o.o_orderkey IS NOT NULL THEN 'order_only'
+            ELSE 'customer_only' END AS status,
+       count(*) AS n
+FROM (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT') o
+FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                 WHERE c_mktsegment = 'BUILDING') c
+     ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_intersect_all_custkeys(sf_dir: str):
     """Bag-semantics INTERSECT ALL (multiplicities matter): custkeys
     counted min(urgent_orders, low_orders) times each. The bag op expands
@@ -1157,5 +1228,7 @@ QUERIES["q_intersect_customers"] = q_intersect_customers
 ORACLE["q_intersect_customers"] = INTERSECT_SQL
 QUERIES["q_intersect_all_custkeys"] = q_intersect_all_custkeys
 ORACLE["q_intersect_all_custkeys"] = INTERSECT_ALL_SQL
+QUERIES["q_full_outer_status"] = q_full_outer_status
+ORACLE["q_full_outer_status"] = FULL_OUTER_SQL
 QUERIES["q_union_distinct_customers"] = _q_union_distinct_wrapped
 ORACLE["q_union_distinct_customers"] = UNION_DISTINCT_SQL

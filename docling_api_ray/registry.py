@@ -62,6 +62,7 @@ _PRIORITY = (
     "q_events_user_hll",
     "q_intersect_all_custkeys",
     "q_ann_lsh",
+    "q_full_outer_status",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",
