@@ -1499,6 +1499,44 @@ ORACLE["q_doc_repetition"] = REPETITION_SQL
 
 
 # ---------------------------------------------------------------------------
+# Compression-ratio quality signal (Gopher-family): deflate-compressed
+# bytes / raw bytes per document. Heavily repetitive or templated text
+# compresses far below ~0.4; near-random noise sits near 1.0 — a
+# language-agnostic one-pass quality feature used alongside the word
+# ratios. zlib level 6 is deterministic for a given input, so the
+# signal is reproducible across runs/partitions (pytest-gated; not SQL-
+# expressible). Stateless per-string map — shuffle-free, streaming.
+
+
+def q_doc_compress_ratio(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        import zlib
+
+        ids, out = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            raw = text.encode("utf-8")
+            ids.append(d)
+            out.append(
+                len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "compress_ratio": pa.array(
+                    np.round(np.array(out), 4), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
+QUERIES["q_doc_compress_ratio"] = q_doc_compress_ratio
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): LM training concatenates documents
 # and slices the stream into fixed-capacity sequences. Packing is defined
 # PER SHARD of consecutive doc_ids — a global token cumsum would serialize

@@ -63,6 +63,7 @@ _PRIORITY = (
     "q_intersect_all_custkeys",
     "q_ann_lsh",
     "q_full_outer_status",
+    "q_doc_compress_ratio",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",

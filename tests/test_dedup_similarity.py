@@ -179,3 +179,21 @@ def test_dup_clusters_distributed_matches_union_find(ray_session):
         .reset_index(drop=True)[want.columns.tolist()]
     )
     assert got.equals(want)
+
+
+def test_compress_ratio_signal(ray_session):
+    """Deterministic across runs; repetitive text compresses much better
+    than high-entropy text (the property the quality filter relies on)."""
+    import zlib
+
+    import pandas as pd
+
+    from docling_api_ray.pipelines.text import q_doc_compress_ratio
+
+    a = q_doc_compress_ratio(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = q_doc_compress_ratio(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert ((a["compress_ratio"] > 0) & (a["compress_ratio"] <= 1.5)).all()
+    rep = len(zlib.compress(b"spam " * 400, 6)) / 2000
+    noise = len(zlib.compress(bytes(range(256)) * 8, 6)) / 2048
+    assert rep < 0.05 < noise
