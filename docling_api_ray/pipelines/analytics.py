@@ -713,3 +713,115 @@ def q_events_user_hll(sf_dir: str):
 
 
 QUERIES["q_events_user_hll"] = q_events_user_hll
+
+
+# ---------------------------------------------------------------------------
+# Global row_number WITHOUT a global sort — range-partitioned ranking:
+# (1) one sketch pass picks ~RANGE_BUCKETS quantile cutpoints of the sort
+# key (the mergeable rank sketch above; its rank error only skews bucket
+# SIZES, never correctness); (2) rows take their range bucket by binary
+# search — a monotone function of the key, so bucket order == key order;
+# (3) per-batch bucket counts (combiner) roll up to bucket-grained
+# offsets, broadcast; (4) ONE bucketed shuffle sorts each range locally
+# and adds its offset. This is how a 100 TB ORDER BY assigns stable
+# global positions: the only all-to-all is range-partitioned, and every
+# bucket sorts ~1/B of the data independently.
+
+RANGE_BUCKETS = 64
+
+
+def _range_boundaries(ds, col: str, n_splits: int) -> np.ndarray:
+    """Interior quantile cutpoints of `col` from the mergeable sketch."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v, w = _qsketch_compress(x, np.ones(len(x)), QSKETCH_K)
+        return pa.table(
+            {
+                "b": pa.array(
+                    np.arange(len(v), dtype=np.int64) % QSKETCH_BUCKETS, pa.int64()
+                ),
+                "v": pa.array(v, pa.float64()),
+                "w": pa.array(w, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        v, w = _qsketch_compress(g["v"].to_numpy(), g["w"].to_numpy(), QSKETCH_K)
+        return pd.DataFrame({"v": v, "w": w})
+
+    pts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # ≤ QSKETCH_BUCKETS × QSKETCH_K weighted points
+    )
+    v = pts["v"].to_numpy()
+    w = pts["w"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    targets = np.arange(1, n_splits) * (total / n_splits)
+    idx = np.minimum(np.searchsorted(cum, targets, side="left"), len(v) - 1)
+    return np.unique(v[idx])
+
+
+def q_orders_global_rownum(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    cuts = _range_boundaries(ds, "o_totalprice", RANGE_BUCKETS)
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, x, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "rb": pa.array(b, pa.int64()),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    # bucket-grained offsets from per-batch count partials (combiner)
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, x, side="right")
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {"rb": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("rb")
+    )
+    offsets = dict(
+        zip(
+            counts["rb"].tolist(),
+            np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1])).tolist(),
+        )
+    )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        rn = offsets[int(g["rb"].iloc[0])] + np.arange(1, len(g) + 1)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(), "rn": rn.astype("int64")}
+        )
+
+    return assigned.groupby("rb").map_groups(rank_bucket, batch_format="pandas")
+
+
+GLOBAL_ROWNUM_SQL = """
+SELECT o_orderkey,
+       row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+FROM orders
+"""
+
+QUERIES["q_orders_global_rownum"] = q_orders_global_rownum
+ORACLE["q_orders_global_rownum"] = GLOBAL_ROWNUM_SQL

@@ -64,6 +64,7 @@ _PRIORITY = (
     "q_ann_lsh",
     "q_full_outer_status",
     "q_doc_compress_ratio",
+    "q_orders_global_rownum",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",
