@@ -95,6 +95,13 @@ def main() -> None:
         action="store_true",
         help="print job progress for --output and exit (no Ray session)",
     )
+    ap.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the curation chain (quality + langid + repetition + "
+        "dedup) over a documents-shaped parquet --input instead of "
+        "extraction; writes curated rows to --output",
+    )
     args = ap.parse_args()
 
     if args.status:
@@ -125,6 +132,26 @@ def main() -> None:
     from .config import PipelineConfig
     from .state.checkpoint import run_job
     from .synth import write_corpus
+
+    if args.curate:
+        import ray.data as rd
+
+        from .pipelines.text import curate_dataset
+
+        ds = rd.read_parquet(args.input, columns=["doc_id", "text", "lang"])
+        out = curate_dataset(ds)
+        os.makedirs(args.output, exist_ok=True)
+        out.write_parquet(args.output)
+        import pyarrow.parquet as pq
+
+        rows = sum(
+            pq.ParquetFile(os.path.join(args.output, f)).metadata.num_rows
+            for f in os.listdir(args.output)
+            if f.endswith(".parquet")
+        )
+        print(json.dumps({"curated_rows": rows, "output": args.output}))
+        ray.shutdown()
+        return
 
     if args.n_docs:
         os.makedirs(args.input, exist_ok=True)

@@ -1917,9 +1917,10 @@ class CurationSignals:
         return out.filter(pa.array(keep))
 
 
-def q_doc_curation(sf_dir: str):
-    # "lang" rides along only because the LangId kernel's schema needs it
-    ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+def curate_dataset(ds):
+    """The curation chain over any documents-shaped Dataset
+    (doc_id, text, lang) — shared by q_doc_curation and the job CLI's
+    --curate mode."""
     sig = ds.map_batches(_cached_stage(CurationSignals), batch_format="pyarrow")
 
     def dedup_min(g: "pd.DataFrame") -> "pd.DataFrame":
@@ -1927,6 +1928,11 @@ def q_doc_curation(sf_dir: str):
         return g.drop(columns=["hkey"])
 
     return key_bucketed(sig, "hkey", dedup_min)
+
+
+def q_doc_curation(sf_dir: str):
+    # "lang" rides along only because the LangId kernel's schema needs it
+    return curate_dataset(read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
 
 
 # The oracle partitions the dedup by full text; the engine by a 64-bit

@@ -196,3 +196,34 @@ def test_bucketed_reassembly_matches_local(ray_session, corpus_dir, default_out)
     assert got["markdown"].tolist() == exp["markdown"].tolist()
     assert [norm_spans(s) for s in got["spans"]] == [norm_spans(s) for s in exp["spans"]]
     assert got["status"].tolist() == exp["status"].tolist()
+
+
+def test_job_curate_mode_matches_query(ray_session, tmp_path):
+    """--curate over documents.parquet writes exactly the rows
+    q_doc_curation returns for the same table."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from docling_api_ray.pipelines.text import q_doc_curation
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "docling_api_ray.job",
+            "--input", f"{sf}/documents.parquet",
+            "--output", str(out), "--curate", "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    want = q_doc_curation(sf).to_pandas()
+    assert summary["curated_rows"] == len(want)
+    got = pd.concat(
+        pd.read_parquet(p) for p in out.glob("*.parquet")
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want.sort_values("doc_id").reset_index(drop=True)[got.columns.tolist()])
