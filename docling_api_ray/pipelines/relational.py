@@ -1230,5 +1230,38 @@ QUERIES["q_intersect_all_custkeys"] = q_intersect_all_custkeys
 ORACLE["q_intersect_all_custkeys"] = INTERSECT_ALL_SQL
 QUERIES["q_full_outer_status"] = q_full_outer_status
 ORACLE["q_full_outer_status"] = FULL_OUTER_SQL
+
+
+def q_except_all_custkeys(sf_dir: str):
+    """Bag-semantics EXCEPT ALL: each custkey max(urgent − low, 0) times
+    (see q_intersect_all_custkeys for the combiner/expansion shape)."""
+    from .join import bucketed_bag_op
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders"))
+    bag = bucketed_bag_op(_tagged_priority_keys(sf_dir), "key", nb, "except_all")
+
+    def recount(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([([], "count_all")])
+        return pa.table(
+            {"key": g["key"], "mult": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return (
+        bag.map_batches(recount, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("mult", alias_name="mult"))
+    )
+
+
+EXCEPT_ALL_SQL = """
+SELECT key, count(*) AS mult FROM (
+    SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+) GROUP BY key
+"""
+
+QUERIES["q_except_all_custkeys"] = q_except_all_custkeys
+ORACLE["q_except_all_custkeys"] = EXCEPT_ALL_SQL
 QUERIES["q_union_distinct_customers"] = _q_union_distinct_wrapped
 ORACLE["q_union_distinct_customers"] = UNION_DISTINCT_SQL
