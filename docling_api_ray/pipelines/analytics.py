@@ -825,3 +825,83 @@ FROM orders
 
 QUERIES["q_orders_global_rownum"] = q_orders_global_rownum
 ORACLE["q_orders_global_rownum"] = GLOBAL_ROWNUM_SQL
+
+
+# ---------------------------------------------------------------------------
+# Table profiler: per-column count / nulls / min / max / sum in ONE
+# streaming pass — per-batch partials are a few scalars per column
+# (vectorized Arrow kernels), merged by a column-grained groupby whose
+# size is the column count, never the rows. The first thing a data
+# engineer runs against a new 100 TB table; long-form output so any
+# column set shares one schema.
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_profile(sf_dir: str):
+    ds = read(sf_dir, "lineitem", columns=PROFILE_COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, stats, vals = [], [], []
+        for c in PROFILE_COLS:
+            col = t[c]
+            n_null = col.null_count
+            names += [c] * 4
+            stats += ["n", "n_null", "min", "max"]
+            # n = NON-NULL count (SQL count(col) semantics); float sums
+            # are deliberately excluded — summation order makes exact
+            # digit parity with the oracle undefined
+            agg = [
+                float(len(col) - n_null),
+                float(n_null),
+                pc.min(col).as_py(),
+                pc.max(col).as_py(),
+            ]
+            vals += [float(x) if x is not None else np.nan for x in agg]
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "stat": pa.array(stats, pa.string()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        stat = g["stat"].iloc[0]
+        v = g["value"].to_numpy()
+        if stat in ("n", "n_null"):
+            out = np.nansum(v)
+        elif stat == "min":
+            out = np.nanmin(v)
+        else:
+            out = np.nanmax(v)
+        return pd.DataFrame(
+            {
+                "column": [g["column"].iloc[0]],
+                "stat": [stat],
+                "value": [np.round(float(out), 4)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["column", "stat"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+PROFILE_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS "column", s.stat, round(CASE s.stat
+        WHEN 'n' THEN count({c})
+        WHEN 'n_null' THEN count(*) - count({c})
+        WHEN 'min' THEN min({c})
+        ELSE max({c}) END, 4) AS value
+FROM lineitem
+CROSS JOIN (SELECT unnest(['n','n_null','min','max']) AS stat) s
+GROUP BY s.stat"""
+    for c in PROFILE_COLS
+)
+
+QUERIES["q_lineitem_profile"] = q_lineitem_profile
+ORACLE["q_lineitem_profile"] = PROFILE_SQL

@@ -66,6 +66,7 @@ _PRIORITY = (
     "q_doc_compress_ratio",
     "q_orders_global_rownum",
     "q_except_all_custkeys",
+    "q_lineitem_profile",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",
