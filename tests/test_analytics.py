@@ -128,3 +128,38 @@ def test_events_user_hll_within_5pct(ray_session):
     assert set(got) == set(want)
     for et, exact in want.items():
         assert abs(got[et] - exact) <= max(1, 0.05 * exact), (et, got[et], exact)
+
+
+def test_qsketch_rank_error_property():
+    """Property (hypothesis): for any value distribution, compressing to
+    k weighted points preserves every quantile's rank within total/k."""
+    from hypothesis import given, settings, strategies as st
+
+    from docling_api_ray.pipelines.analytics import _qsketch_compress
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=3000),
+        st.integers(16, 256),
+    )
+    def check(xs, k):
+        import numpy as np
+
+        v = np.asarray(xs, dtype=np.float64)
+        cv, cw = _qsketch_compress(v, np.ones(len(v)), k)
+        assert cw.sum() == len(v)  # total weight preserved exactly
+        order = np.argsort(cv, kind="stable")
+        cv, cw = cv[order], cw[order]
+        cum = np.cumsum(cw)
+        sv = np.sort(v)
+        for q in (0.1, 0.5, 0.9):
+            pos = int(np.searchsorted(cum, q * len(v), side="left"))
+            est = cv[min(pos, len(cv) - 1)]
+            # a duplicated value occupies a rank INTERVAL — error is the
+            # distance from q to [lo, hi], not to a point rank
+            lo = np.searchsorted(sv, est, side="left") / len(v)
+            hi = np.searchsorted(sv, est, side="right") / len(v)
+            err = max(lo - q, q - hi, 0.0)
+            assert err <= 1.0 / k + 1.0 / len(v) + 1e-9
+
+    check()
