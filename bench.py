@@ -173,44 +173,46 @@ def run_bench() -> dict:
     }
 
 
+def _scaling_one(ncpu: int) -> dict:
+    # GRAFT_SCALE_FACTOR can raise the corpus size for a strong-scaling
+    # measurement (per-level compute ≫ the ~5 s fixed barrier latency
+    # of the giant branch — the regime the N-vs-4N-node criterion
+    # describes). Default stays at the headline factor: this host's
+    # noise comes in multi-minute storm episodes, so short trials can
+    # land in quiet windows while long trials are guaranteed to span a
+    # storm — more short trials beat fewer long ones here.
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_FACTOR=os.environ.get("GRAFT_SCALE_FACTOR", str(FACTOR)),
+    )
+    # taskset pins the WHOLE process tree (raylet + workers) to ncpu
+    # physical cores — num_cpus alone is only a scheduler token; worker
+    # threads (Arrow decode etc.) would otherwise spill onto all cores
+    # and fake the small-"cluster" throughput
+    cmd = [sys.executable, os.path.abspath(__file__), "--headline-only"]
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+    # retry guard: with op resource reservation disabled, very low CPU
+    # budgets can intermittently livelock the multi-operator DAG; a
+    # fresh process resolves it
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, check=True,
+                timeout=1200,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if attempt == 2:
+                raise
+    raise RuntimeError("unreachable")
+
+
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
-        # GRAFT_SCALE_FACTOR can raise the corpus size for a strong-scaling
-        # measurement (per-level compute ≫ the ~5 s fixed barrier latency
-        # of the giant branch — the regime the N-vs-4N-node criterion
-        # describes). Default stays at the headline factor: this host's
-        # noise comes in multi-minute storm episodes, so short trials can
-        # land in quiet windows while long trials are guaranteed to span a
-        # storm — more short trials beat fewer long ones here.
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_FACTOR=os.environ.get("GRAFT_SCALE_FACTOR", str(FACTOR)),
-        )
-        # taskset pins the WHOLE process tree (raylet + workers) to ncpu
-        # physical cores — num_cpus alone is only a scheduler token; worker
-        # threads (Arrow decode etc.) would otherwise spill onto all cores
-        # and fake the small-"cluster" throughput
-        cmd = [sys.executable, os.path.abspath(__file__), "--headline-only"]
-        import shutil as _sh
-
-        if _sh.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
-        # retry guard: with op resource reservation disabled, very low CPU
-        # budgets can intermittently livelock the multi-operator DAG; a
-        # fresh process resolves it
-        for attempt in range(3):
-            try:
-                out = subprocess.run(
-                    cmd, env=env, capture_output=True, text=True, check=True,
-                    timeout=1200,
-                ).stdout
-                return json.loads(out.strip().splitlines()[-1])
-            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-                if attempt == 2:
-                    raise
-        raise RuntimeError("unreachable")
-
+    one = _scaling_one
     # default levels 4 and 16 ("N and 4N CPUs" protocol): this single box's
     # memory bandwidth saturates near ~16-20 cores for this string-heavy
     # workload (see BASELINE.md calibration), so 8->32 measures the machine
@@ -229,6 +231,38 @@ def run_scaling() -> dict:
         f"docs_per_sec_{n_lo}": thr_lo,
         f"docs_per_sec_{n_hi}": thr_hi,
         "docs": hi["docs"],
+        "sf": SF_DIR,
+    }
+
+
+def run_scaling_interleaved() -> dict:
+    """A/B/A/B scaling: GRAFT_SCALE_PAIRS adjacent (lo, hi) pairs run
+    back-to-back so both sides of each pair share the host's interference
+    state (this box's storm episodes otherwise hit whichever side they
+    overlap — see BASELINE.md trials 11-13). Reports per-pair
+    efficiencies and their median."""
+    import statistics
+
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
+    pairs = []
+    for _ in range(n_pairs):
+        lo = _scaling_one(n_lo)
+        hi = _scaling_one(n_hi)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_hi / n_lo)
+        pairs.append(
+            {
+                "eff": round(eff, 3),
+                f"sec_{n_lo}": lo["value"],
+                f"sec_{n_hi}": hi["value"],
+            }
+        )
+    return {
+        "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}_interleaved",
+        "value": round(statistics.median(p["eff"] for p in pairs), 3),
+        "unit": "ratio",
+        "pairs": pairs,
         "sf": SF_DIR,
     }
 
@@ -261,7 +295,9 @@ def run_headline_only() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-interleaved" in sys.argv:
+        print(json.dumps(run_scaling_interleaved()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--headline-only" in sys.argv:
         print(json.dumps(run_headline_only()))
