@@ -1537,6 +1537,53 @@ QUERIES["q_doc_compress_ratio"] = q_doc_compress_ratio
 
 
 # ---------------------------------------------------------------------------
+# RAG-style chunking: fixed-size character windows with overlap
+# (stride < size), the retrieval-corpus prep step. A pure flat_map —
+# each doc expands to ceil(max(len−size,0)/stride)+1 rows independently,
+# so the stage is shuffle-free and streams. Checked against DuckDB's
+# generate_series + substr formulation of the same windows.
+
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 90  # 30-char overlap between consecutive chunks
+
+
+def q_doc_chunks(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, cids, parts = [], [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(text)
+            n_chunks = max(0, -(-max(n - CHUNK_SIZE, 0) // CHUNK_STRIDE)) + 1
+            for i in range(n_chunks):
+                ids.append(d)
+                cids.append(i)
+                parts.append(text[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "chunk": pa.array(parts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+CHUNKS_SQL = f"""
+SELECT d.doc_id, gs.i AS chunk_id,
+       substr(d.text, 1 + gs.i * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS chunk
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0,
+         CAST(ceil(greatest(length(d.text) - {CHUNK_SIZE}, 0)
+                   / {CHUNK_STRIDE}.0) AS BIGINT))) AS i) gs
+"""
+
+QUERIES["q_doc_chunks"] = q_doc_chunks
+ORACLE["q_doc_chunks"] = CHUNKS_SQL
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): LM training concatenates documents
 # and slices the stream into fixed-capacity sequences. Packing is defined
 # PER SHARD of consecutive doc_ids — a global token cumsum would serialize

@@ -67,6 +67,7 @@ _PRIORITY = (
     "q_orders_global_rownum",
     "q_except_all_custkeys",
     "q_lineitem_profile",
+    "q_doc_chunks",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",
