@@ -905,3 +905,68 @@ GROUP BY s.stat"""
 
 QUERIES["q_lineitem_profile"] = q_lineitem_profile
 ORACLE["q_lineitem_profile"] = PROFILE_SQL
+
+
+# ---------------------------------------------------------------------------
+# GROUPED approximate quantiles — the rank sketch as a grouped
+# aggregation (the scale path when per-group exact histograms are
+# group-cardinality × value-cardinality). Per batch each group's values
+# compress independently to ≤k weighted points; the merge groupby is
+# (group, shard)-grained; extraction touches ≤ 32·k points per group.
+# pytest-gated per-group rank error like the global sketch.
+
+
+def q_price_quantiles_by_flag(sf_dir: str):
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rf = t["l_returnflag"]
+        if isinstance(rf, pa.ChunkedArray):
+            rf = rf.combine_chunks()
+        d = rf.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        names = d.dictionary.to_pylist()
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out_g, out_b, out_v, out_w = [], [], [], []
+        for gi, gname in enumerate(names):
+            v, w = _qsketch_compress(x[codes == gi], np.ones(int((codes == gi).sum())), QSKETCH_K)
+            out_g += [gname] * len(v)
+            out_b += (np.arange(len(v)) % QSKETCH_BUCKETS).tolist()
+            out_v += v.tolist()
+            out_w += w.tolist()
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "b": pa.array(out_b, pa.int64()),
+                "v": pa.array(out_v, pa.float64()),
+                "w": pa.array(out_w, pa.float64()),
+            }
+        )
+
+    def merge(grp: pd.DataFrame) -> pd.DataFrame:
+        v, w = _qsketch_compress(grp["v"].to_numpy(), grp["w"].to_numpy(), QSKETCH_K)
+        return pd.DataFrame({"g": grp["g"].iloc[0], "v": v, "w": w})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "b"])
+        .map_groups(merge, batch_format="pandas")
+    )
+
+    def finish(grp: pd.DataFrame) -> pd.DataFrame:
+        v = grp["v"].to_numpy()
+        w = grp["w"].to_numpy()
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        rows = []
+        for q in QUANTILES:
+            pos = int(np.searchsorted(cum, q * total, side="left"))
+            rows.append((grp["g"].iloc[0], q, float(v[min(pos, len(v) - 1)])))
+        return pd.DataFrame(rows, columns=["l_returnflag", "q", "value"])
+
+    return merged.groupby("g").map_groups(finish, batch_format="pandas")
+
+
+QUERIES["q_price_quantiles_by_flag"] = q_price_quantiles_by_flag

@@ -68,6 +68,7 @@ _PRIORITY = (
     "q_except_all_custkeys",
     "q_lineitem_profile",
     "q_doc_chunks",
+    "q_price_quantiles_by_flag",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",

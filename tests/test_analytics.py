@@ -163,3 +163,22 @@ def test_qsketch_rank_error_property():
             assert err <= 1.0 / k + 1.0 / len(v) + 1e-9
 
     check()
+
+
+def test_price_quantiles_by_flag_rank_error(ray_session):
+    """Grouped rank sketch: every (group, quantile) answer within 1% true
+    rank inside its own group."""
+    import duckdb
+
+    from docling_api_ray.pipelines.analytics import q_price_quantiles_by_flag
+
+    got = q_price_quantiles_by_flag(SF).to_pandas()
+    assert set(got["l_returnflag"]) == {"A", "N", "R"}
+    con = duckdb.connect()
+    for _, row in got.iterrows():
+        g, q, v = row["l_returnflag"], float(row["q"]), float(row["value"])
+        rank = con.execute(
+            f"SELECT avg(CASE WHEN l_extendedprice <= {v} THEN 1.0 ELSE 0.0 END) "
+            f"FROM read_parquet('{SF}/lineitem.parquet') WHERE l_returnflag = '{g}'"
+        ).fetchone()[0]
+        assert abs(rank - q) <= 0.01, (g, q, v, rank)
