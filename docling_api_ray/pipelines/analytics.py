@@ -724,8 +724,10 @@ QUERIES["q_events_user_hll"] = q_events_user_hll
 # (3) per-batch bucket counts (combiner) roll up to bucket-grained
 # offsets, broadcast; (4) ONE bucketed shuffle sorts each range locally
 # and adds its offset. This is how a 100 TB ORDER BY assigns stable
-# global positions: the only all-to-all is range-partitioned, and every
-# bucket sorts ~1/B of the data independently.
+# global positions: three STREAMING reads of the input (sketch, counts,
+# assign — each a scan, none a materialization), and the only all-to-all
+# is range-partitioned, every bucket sorting ~1/B of the data
+# independently.
 
 RANGE_BUCKETS = 64
 
