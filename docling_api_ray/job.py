@@ -102,6 +102,17 @@ def main() -> None:
         "dedup) over a documents-shaped parquet --input instead of "
         "extraction; writes curated rows to --output",
     )
+    ap.add_argument(
+        "--text-col",
+        default="text",
+        help="with --curate: column holding the document text (e.g. "
+        "'markdown' to curate extraction output directly)",
+    )
+    ap.add_argument(
+        "--id-col",
+        default="doc_id",
+        help="with --curate: column holding the document id",
+    )
     args = ap.parse_args()
 
     if args.status:
@@ -134,12 +145,28 @@ def main() -> None:
     from .synth import write_corpus
 
     if args.curate:
+        import pyarrow as pa
         import ray.data as rd
 
         from .pipelines.text import curate_dataset
 
-        ds = rd.read_parquet(args.input, columns=["doc_id", "text", "lang"])
-        out = curate_dataset(ds)
+        src = sorted(glob.glob(args.input)) if any(
+            ch in args.input for ch in "*?["
+        ) else args.input
+        ds = rd.read_parquet(src, columns=[args.id_col, args.text_col])
+
+        def remap(t: "pa.Table", idc=args.id_col, txc=args.text_col) -> "pa.Table":
+            # lang rides along only for the LangId kernel's input schema;
+            # the chain computes its own language prediction
+            return pa.table(
+                {
+                    "doc_id": t[idc],
+                    "text": t[txc],
+                    "lang": pa.array([""] * len(t), pa.string()),
+                }
+            )
+
+        out = curate_dataset(ds.map_batches(remap, batch_format="pyarrow"))
         os.makedirs(args.output, exist_ok=True)
         out.write_parquet(args.output)
         import pyarrow.parquet as pq
