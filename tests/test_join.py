@@ -146,3 +146,43 @@ def test_bucketed_bag_op_matches_duckdb(ray_session):
             ).fetchall()
         )
         assert got == want, op
+
+
+def test_bloom_anti_with_post_matches_exact(ray_session):
+    """anti + post: the Bloom-miss bypass stream and the exact-resolved
+    stream must compose with `post` exactly like the plain bucketed path
+    (post here is a mergeable per-row projection)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docling_api_ray.pipelines.join import bloom_semi_anti, bucketed_semi_anti
+
+    rng = np.random.default_rng(9)
+    fact = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rng.integers(0, 300, 2_000), pa.int64()),
+                "v": pa.array(rng.integers(0, 1000, 2_000), pa.int64()),
+            }
+        )
+    )
+    keys = rd.from_arrow(
+        pa.table({"j": pa.array(rng.choice(300, 40, replace=False), pa.int64())})
+    )
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["k"], "v2": pc.multiply(t["v"], 2)})
+
+    got = (
+        bloom_semi_anti(fact, "k", keys, "j", 16, m_bits=1 << 12, anti=True,
+                        fact_schema=schema, post=post)
+        .to_pandas().sort_values(["k", "v2"]).reset_index(drop=True)
+    )
+    want = (
+        bucketed_semi_anti(fact, "k", keys, "j", 16, anti=True,
+                           fact_schema=schema, post=post)
+        .to_pandas().sort_values(["k", "v2"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
