@@ -112,7 +112,9 @@ def run_headline() -> tuple[float, int]:
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         ds = build_extraction(path, cfg)
-        ds.write_parquet(out_dir)
+        # coalesce the giant branch's tiny blocks at the writer (matches
+        # the job runner; see extraction_runner.run_wave)
+        ds.write_parquet(out_dir, min_rows_per_file=1000)
         sec = min(sec, time.time() - t0)
     import pyarrow.parquet as pq
 
