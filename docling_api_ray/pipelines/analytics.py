@@ -709,6 +709,9 @@ def q_events_user_hll(sf_dir: str):
             }
         )
 
+    # low-cardinality map_groups is safe HERE (unlike the de-skewed
+    # q_top_orders_per_segment): each group is ≤ 2^P register rows —
+    # bounded by the sketch, not by the data
     return merged.groupby("event_type").map_groups(estimate, batch_format="pandas")
 
 
@@ -968,6 +971,8 @@ def q_price_quantiles_by_flag(sf_dir: str):
             rows.append((grp["g"].iloc[0], q, float(v[min(pos, len(v) - 1)])))
         return pd.DataFrame(rows, columns=["l_returnflag", "q", "value"])
 
+    # low-cardinality map_groups is safe HERE: each group is ≤
+    # QSKETCH_BUCKETS × k weighted points — sketch-bounded, not data-bounded
     return merged.groupby("g").map_groups(finish, batch_format="pandas")
 
 
