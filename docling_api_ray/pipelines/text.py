@@ -1584,6 +1584,84 @@ ORACLE["q_doc_chunks"] = CHUNKS_SQL
 
 
 # ---------------------------------------------------------------------------
+# Weighted priority sampling (Efraimidis-Spirakis / priority sampling):
+# each doc draws a deterministic uniform u from its key hash and gets
+# priority = weight / u; the global weighted sample IS the top-K by
+# priority. Top-K is mergeable (top-K of a union = top-K of partial
+# top-Ks), so each batch emits its own top-K partial and only K×blocks
+# rows reach the final sort — a weighted sampler with no shuffle of the
+# data stream and no RNG state (partition-invariant, rerun-stable).
+# u is derived from md5's lower 8 digest bytes little-endian — exactly
+# DuckDB's md5_number_lower — so the oracle reproduces the identical
+# sample, float-for-float.
+
+PRIORITY_SAMPLE_K = 50
+_U64 = 18446744073709551616.0  # 2^64
+
+
+def _priority_u(doc_ids) -> np.ndarray:
+    us = np.empty(len(doc_ids), dtype=np.float64)
+    for i, d in enumerate(doc_ids):
+        lo = int.from_bytes(
+            hashlib.md5(str(d).encode()).digest()[8:16], "little"
+        )
+        us[i] = (float(lo) + 1.0) / _U64
+    return us
+
+
+def q_doc_priority_sample(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pri = w / _priority_u(ids)
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), -pri))[
+            :PRIORITY_SAMPLE_K
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[order], pa.int64()),
+                "n_chars": pc.take(t["n_chars"], pa.array(order, pa.int64())),
+                "priority": pa.array(pri[order], pa.float64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "priority": pa.array(
+                    np.round(t["priority"].to_numpy(zero_copy_only=False), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["priority", "doc_id"], descending=[True, False])
+        .limit(PRIORITY_SAMPLE_K)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+PRIORITY_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       round(n_chars / ((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                              AS DOUBLE) + 1) / {_U64}), 4) AS priority
+FROM documents
+ORDER BY n_chars / ((CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                          AS DOUBLE) + 1) / {_U64}) DESC, doc_id
+LIMIT {PRIORITY_SAMPLE_K}
+"""
+
+QUERIES["q_doc_priority_sample"] = q_doc_priority_sample
+ORACLE["q_doc_priority_sample"] = PRIORITY_SAMPLE_SQL
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): LM training concatenates documents
 # and slices the stream into fixed-capacity sequences. Packing is defined
 # PER SHARD of consecutive doc_ids — a global token cumsum would serialize

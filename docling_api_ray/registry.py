@@ -69,6 +69,7 @@ _PRIORITY = (
     "q_lineitem_profile",
     "q_doc_chunks",
     "q_price_quantiles_by_flag",
+    "q_doc_priority_sample",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",
