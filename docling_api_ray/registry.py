@@ -80,11 +80,11 @@ _PRIORITY = (
     "q_cust_order_counts",
     "q_doc_minhash_pairs",
     "q_doc_rolling_fingerprint",
-    "q_lineitem_quantiles",
+    "q10_returned_items",  # join rewritten in r03 (driver dicts removed)
     # core representatives per operator family (stable, keep evaluated)
     "q1_pricing_summary",
     "q6_revenue_filter",
-    "q10_returned_items",
+    "q_lineitem_quantiles",
     "q_doc_exact_dedup",
     "q_doc_token_counts",
     "q_doc_quality",
