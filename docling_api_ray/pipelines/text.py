@@ -1662,6 +1662,42 @@ ORACLE["q_doc_priority_sample"] = PRIORITY_SAMPLE_SQL
 
 
 # ---------------------------------------------------------------------------
+# Train/val/test split assignment: the hash-threshold trick one more
+# time, but emitting a persistent per-doc label — every training
+# pipeline's first partitioning decision. Hex prefixes give ~90/5/5
+# (230/13/13 of 256); the split is a pure function of doc_id, so it is
+# identical across reruns, re-partitions, and engines (DuckDB oracle
+# reproduces the exact assignment).
+
+
+def q_doc_split_assign(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        labels = []
+        for d in t["doc_id"].to_pylist():
+            h2 = hashlib.md5(str(d).encode()).hexdigest()[:2]
+            labels.append("train" if h2 < "e6" else ("val" if h2 < "f3" else "test"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(labels, pa.string())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+QUERIES["q_doc_split_assign"] = q_doc_split_assign
+ORACLE["q_doc_split_assign"] = SPLIT_ASSIGN_SQL
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): LM training concatenates documents
 # and slices the stream into fixed-capacity sequences. Packing is defined
 # PER SHARD of consecutive doc_ids — a global token cumsum would serialize

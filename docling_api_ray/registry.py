@@ -70,6 +70,7 @@ _PRIORITY = (
     "q_doc_chunks",
     "q_price_quantiles_by_flag",
     "q_doc_priority_sample",
+    "q_doc_split_assign",
     # changed in r03 — need fresh driver evidence
     "q_orders_running_total",
     "q_top_orders_per_segment",
