@@ -46,6 +46,18 @@ _PRIORITY = (
     "q_doc_explode_tokens",
     "q_doc_tfidf",
     "q_word_topk",
+    # changed in r03 — need fresh driver evidence (ABOVE the new-op block
+    # so growth there can never push these out of the window)
+    "q_orders_running_total",
+    "q_top_orders_per_segment",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q_top_customers",
+    "q_nation_customer_stats",
+    "q_cust_order_counts",
+    "q_doc_minhash_pairs",
+    "q_doc_rolling_fingerprint",
+    "q10_returned_items",  # join rewritten in r03 (driver dicts removed)
     # new operators in r03 — need first driver evidence
     "q_doc_curation",
     "q_doc_repetition",
@@ -71,17 +83,6 @@ _PRIORITY = (
     "q_price_quantiles_by_flag",
     "q_doc_priority_sample",
     "q_doc_split_assign",
-    # changed in r03 — need fresh driver evidence
-    "q_orders_running_total",
-    "q_top_orders_per_segment",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q_top_customers",
-    "q_nation_customer_stats",
-    "q_cust_order_counts",
-    "q_doc_minhash_pairs",
-    "q_doc_rolling_fingerprint",
-    "q10_returned_items",  # join rewritten in r03 (driver dicts removed)
     # core representatives per operator family (stable, keep evaluated)
     "q1_pricing_summary",
     "q6_revenue_filter",
