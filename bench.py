@@ -107,15 +107,25 @@ def run_headline() -> tuple[float, int]:
     # contention (identical jobs measured 25.6s / 61s / 98s within one
     # hour — ~9% average CPU steal since boot); min-of-N is the standard
     # estimator for the machine's actual capability under external noise
-    sec = float("inf")
-    for _ in range(int(os.environ.get("GRAFT_TRIALS", "2"))):
+    times = []
+    n_trials = int(os.environ.get("GRAFT_TRIALS", "2"))
+    for _ in range(n_trials):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         ds = build_extraction(path, cfg)
         # coalesce the giant branch's tiny blocks at the writer (matches
         # the job runner; see extraction_runner.run_wave)
         ds.write_parquet(out_dir, min_rows_per_file=1000)
-        sec = min(sec, time.time() - t0)
+        times.append(time.time() - t0)
+    # adaptive extra trial: trials disagreeing >1.4x means a storm episode
+    # overlapped at least one of them — one more sample costs seconds and
+    # often lands in the gap between episodes
+    if n_trials >= 2 and max(times) / min(times) > 1.4:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        build_extraction(path, cfg).write_parquet(out_dir, min_rows_per_file=1000)
+        times.append(time.time() - t0)
+    sec = min(times)
     import pyarrow.parquet as pq
 
     rows = sum(
