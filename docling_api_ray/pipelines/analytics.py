@@ -334,6 +334,40 @@ QUALIFY lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
 """
 
 
+# ROWS-frame window (vs q_events_sliding's RANGE frame): per-user moving
+# average over the last 3 events — same key-bucketed evaluation, rolling
+# computed vectorized across every user in the bucket.
+def q_events_moving_avg(sf_dir: str):
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def mavg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        roll = (
+            g.groupby("user_id")["value"]
+            .rolling(3, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "mavg": np.round(roll.to_numpy(), 4),
+            }
+        )
+
+    return key_bucketed(ds, "user_id", mavg)
+
+
+MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS mavg
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch (the mergeable approx-distinct
 # primitive a 100 TB pipeline uses where exact distinct would shuffle the
@@ -548,6 +582,7 @@ QUERIES = {
     "q_lineitem_corr": q_lineitem_corr,
     "q_orders_running_total": q_orders_running_total,
     "q_events_lag_delta": q_events_lag_delta,
+    "q_events_moving_avg": q_events_moving_avg,
 }
 
 ORACLE = {
@@ -561,6 +596,7 @@ ORACLE = {
     "q_lineitem_corr": CORR_SQL,
     "q_orders_running_total": RUNNING_TOTAL_SQL,
     "q_events_lag_delta": LAG_DELTA_SQL,
+    "q_events_moving_avg": MOVING_AVG_SQL,
 }
 
 

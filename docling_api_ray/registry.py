@@ -83,6 +83,7 @@ _PRIORITY = (
     "q_price_quantiles_by_flag",
     "q_doc_priority_sample",
     "q_doc_split_assign",
+    "q_events_moving_avg",
     # core representatives per operator family (stable, keep evaluated)
     "q1_pricing_summary",
     "q6_revenue_filter",
