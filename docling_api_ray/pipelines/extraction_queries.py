@@ -184,6 +184,27 @@ def q_media_features(sf_dir: str):
     return build_media_features(rd.from_arrow(media), concurrency=(1, 4))
 
 
+def q_media_frame_sample(sf_dir: str):
+    """Video frame sampling (flat_map fan-out): up to 4 evenly-spaced
+    frames per video payload through the FrameSampler actor-pool stage —
+    one output row per sampled frame. Decode stubbed per build contract;
+    the Ray plumbing (row multiplication, small batches for large binary,
+    actor pool) is real. Rows-only; frame-index/evenness invariants are
+    pytest-gated in tests/test_media.py."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.media import FrameSampler, synth_media
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    media = synth_media(n, seed=42)
+    return rd.from_arrow(media).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )
+
+
 QUERIES = {
     "q_extract_documents": q_extract_documents,
     "q_extract_ooxml": q_extract_ooxml,
@@ -191,6 +212,7 @@ QUERIES = {
     "q_extract_credits": q_extract_credits,
     "q_extract_usage_summary": q_extract_usage_summary,
     "q_media_features": q_media_features,
+    "q_media_frame_sample": q_media_frame_sample,
 }
 
 ORACLE: dict[str, str] = {}  # rows-only: corpus is not visible to DuckDB

@@ -33,6 +33,7 @@ _PRIORITY = (
     "q_extract_credits",
     "q_extract_usage_summary",
     "q_media_features",
+    "q_media_frame_sample",
     # similarity / embeddings (never driver-evaluated before r03)
     "q_ann_topk",
     "q_embedding_label_stats",
