@@ -1698,6 +1698,109 @@ ORACLE["q_doc_split_assign"] = SPLIT_ASSIGN_SQL
 
 
 # ---------------------------------------------------------------------------
+# GROUPED heavy hitters (per-language vocabulary): the Misra-Gries
+# candidate-superset + exact-pass construction of q_word_heavy_hitters,
+# applied per group — each batch compresses each language's counts to
+# ≤HH_K counters independently, the merge groupby is (lang, term)-grained
+# over sketch rows, per-group totals come from sentinel rows
+# (group-grained, output-bounded), and the exact pass counts only the
+# broadcast per-group candidates. Output is exact (= SQL HAVING per
+# group); no stage holds any group's vocabulary.
+
+HH_G_PHI = 0.035
+
+
+def q_lang_heavy_hitters(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["lang", "text"])
+    word = re.compile(r"\w+", re.ASCII)
+
+    def sketch(t: pa.Table) -> pa.Table:
+        from collections import Counter, defaultdict
+
+        per_lang: dict[str, Counter] = defaultdict(Counter)
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            per_lang[lang].update(word.findall(text.lower()))
+        langs, terms, ws = [], [], []
+        for lang, c in per_lang.items():
+            tv = np.array(list(c.keys()), dtype=object)
+            cv = np.array(list(c.values()), dtype=np.int64)
+            total = int(cv.sum())
+            tv, cv = _mg_compress(tv, cv, HH_K)
+            langs += [lang] * (len(tv) + 1)
+            terms += list(tv) + [""]  # "" sentinel carries the exact total
+            ws += list(cv) + [total]
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "term": pa.array(terms, pa.string()),
+                "w": pa.array(ws, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(sketch, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("w", alias_name="w"))
+        .materialize()  # bounded: ≤ langs × HH_K × n_batches sketch rows
+    )
+    totals = {
+        r["lang"]: r["w"]
+        for r in merged.filter(lambda r: r["term"] == "").take_all()
+    }  # group-grained
+    floors = {
+        lang: (HH_G_PHI - 1.0 / (HH_K + 1)) * n for lang, n in totals.items()
+    }
+    cand = {
+        (r["lang"], r["term"])
+        for r in merged.filter(
+            lambda r: r["term"] != "" and r["w"] >= floors[r["lang"]]
+        ).take_all()  # ≤ langs / (PHI − 1/(K+1)) pairs — output-bounded
+    }
+
+    def exact_pass(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok in word.findall(text.lower()):
+                if (lang, tok) in cand:
+                    c[(lang, tok)] += 1
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in c], pa.string()),
+                "term": pa.array([k[1] for k in c], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(exact_pass, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return out.filter(lambda r: r["n"] >= HH_G_PHI * totals[r["lang"]]).sort(
+        ["lang", "n", "term"], descending=[False, True, False]
+    )
+
+
+LANG_HH_SQL = rf"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents
+),
+tot AS (SELECT lang, count(*) AS nt FROM toks GROUP BY lang)
+SELECT toks.lang AS lang, t AS term, count(*) AS n
+FROM toks JOIN tot ON toks.lang = tot.lang
+GROUP BY toks.lang, t, tot.nt
+HAVING count(*) >= {HH_G_PHI} * tot.nt
+ORDER BY toks.lang, n DESC, term
+"""
+
+QUERIES["q_lang_heavy_hitters"] = q_lang_heavy_hitters
+ORACLE["q_lang_heavy_hitters"] = LANG_HH_SQL
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk): LM training concatenates documents
 # and slices the stream into fixed-capacity sequences. Packing is defined
 # PER SHARD of consecutive doc_ids — a global token cumsum would serialize

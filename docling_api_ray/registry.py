@@ -85,6 +85,7 @@ _PRIORITY = (
     "q_doc_priority_sample",
     "q_doc_split_assign",
     "q_events_moving_avg",
+    "q_lang_heavy_hitters",
     # core representatives per operator family (stable, keep evaluated)
     "q1_pricing_summary",
     "q6_revenue_filter",
