@@ -176,6 +176,87 @@ FROM lineitem
 """
 
 
+def q_lineitem_corr_by_flag(sf_dir: str):
+    """Grouped correlation, same numerically-stable two-pass shape as the
+    global q_lineitem_corr: pass 1 is a group-grained mean groupby
+    (output-bounded, broadcast in the closure); pass 2 accumulates
+    per-group centered products VECTORIZED across all groups in a batch
+    (dictionary codes + np.add.at), merging group-grained scalar partials."""
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    ds = read(sf_dir, "lineitem", columns=cols)
+    means = {
+        r["l_returnflag"]: (r["n"], r["mx"], r["my"])
+        for r in ds.groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Mean("l_quantity", alias_name="mx"),
+            Mean("l_extendedprice", alias_name="my"),
+        )
+        .take_all()  # group-grained
+    }
+    flags = sorted(means)
+    fidx = {f: i for i, f in enumerate(flags)}
+    mx = np.array([means[f][1] for f in flags])
+    my = np.array([means[f][2] for f in flags])
+
+    def dev(t: pa.Table) -> pa.Table:
+        rf = t["l_returnflag"].to_pylist()
+        codes = np.array([fidx[f] for f in rf], dtype=np.int64)
+        x = t["l_quantity"].to_numpy(zero_copy_only=False) - mx[codes]
+        y = t["l_extendedprice"].to_numpy(zero_copy_only=False) - my[codes]
+        sxy = np.zeros(len(flags))
+        sxx = np.zeros(len(flags))
+        syy = np.zeros(len(flags))
+        np.add.at(sxy, codes, x * y)
+        np.add.at(sxx, codes, x * x)
+        np.add.at(syy, codes, y * y)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags, pa.string()),
+                "sxy": pa.array(sxy, pa.float64()),
+                "sxx": pa.array(sxx, pa.float64()),
+                "syy": pa.array(syy, pa.float64()),
+            }
+        )
+
+    s = (
+        ds.map_batches(dev, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = []
+        for r in t.to_pylist():
+            f = r["l_returnflag"]
+            n = means[f][0]
+            denom = r["sxx"] * r["syy"]
+            corr = r["sxy"] / math.sqrt(denom) if denom > 0 else float("nan")
+            out.append(
+                {
+                    "l_returnflag": f,
+                    "n": n,
+                    "corr_qty_price": round(corr, 6),
+                    "covar_qty_price": round(r["sxy"] / (n - 1), 4),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return s.map_batches(finish, batch_format="pyarrow")
+
+
+CORR_BY_FLAG_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # GROUPED exact quantiles — same value-histogram pattern, one histogram
 # per group key; selection is vectorized over the tiny (flag × value)
@@ -580,6 +661,7 @@ QUERIES = {
     "q_quantity_quantiles_by_flag": q_quantity_quantiles_by_flag,
     "q_orders_pivot": q_orders_pivot,
     "q_lineitem_corr": q_lineitem_corr,
+    "q_lineitem_corr_by_flag": q_lineitem_corr_by_flag,
     "q_orders_running_total": q_orders_running_total,
     "q_events_lag_delta": q_events_lag_delta,
     "q_events_moving_avg": q_events_moving_avg,
@@ -594,6 +676,7 @@ ORACLE = {
     "q_quantity_quantiles_by_flag": GROUPED_QUANTILES_SQL,
     "q_orders_pivot": PIVOT_SQL,
     "q_lineitem_corr": CORR_SQL,
+    "q_lineitem_corr_by_flag": CORR_BY_FLAG_SQL,
     "q_orders_running_total": RUNNING_TOTAL_SQL,
     "q_events_lag_delta": LAG_DELTA_SQL,
     "q_events_moving_avg": MOVING_AVG_SQL,

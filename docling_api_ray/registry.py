@@ -86,6 +86,7 @@ _PRIORITY = (
     "q_doc_split_assign",
     "q_events_moving_avg",
     "q_lang_heavy_hitters",
+    "q_lineitem_corr_by_flag",
     # core representatives per operator family (stable, keep evaluated)
     "q1_pricing_summary",
     "q6_revenue_filter",
