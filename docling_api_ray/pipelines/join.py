@@ -190,9 +190,13 @@ def bucketed_semi_anti(
     anti: bool = False,
     fact_schema: pa.Schema | None = None,
     post=None,
+    string_key: bool = False,
 ) -> rd.Dataset:
     """Distributed semi-join (or anti-join with `anti=True`): keep fact
     rows whose `fact_key` appears (doesn't appear) in `keys_ds[keys_key]`.
+    `string_key=True` buckets via blake2b (hash_bucket_col) for string
+    keys — fingerprints, URLs, blocklist entries; int keys use the cheap
+    mask bucket.
 
     Both sides shuffle once by key-hash bucket; membership resolves inside
     each bucket with `pc.is_in`. The keys side is deduped per batch before
@@ -210,9 +214,10 @@ def bucketed_semi_anti(
         sch = fact_ds.schema()
         fact_schema = getattr(sch, "base_schema", sch)  # ray Schema → pa.Schema
     fact_names = list(fact_schema.names)
+    bucketer = hash_bucket_col if string_key else bucket_col
 
     def fact_side(t: pa.Table) -> pa.Table:
-        t = t.append_column("__bucket", bucket_col(t[fact_key], n_buckets))
+        t = t.append_column("__bucket", bucketer(t[fact_key], n_buckets))
         return t.append_column("__side", pa.array([0] * len(t), pa.int8()))
 
     def keys_side(t: pa.Table) -> pa.Table:
@@ -224,7 +229,7 @@ def bucketed_semi_anti(
             else:
                 cols[f.name] = pa.nulls(len(keys), type=f.type)
         t2 = pa.table(cols)
-        t2 = t2.append_column("__bucket", bucket_col(t2[fact_key], n_buckets))
+        t2 = t2.append_column("__bucket", bucketer(t2[fact_key], n_buckets))
         return t2.append_column("__side", pa.array([1] * len(t2), pa.int8()))
 
     both = fact_ds.map_batches(fact_side, batch_format="pyarrow").union(

@@ -186,3 +186,43 @@ def test_bloom_anti_with_post_matches_exact(ray_session):
         .to_pandas().sort_values(["k", "v2"]).reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_bucketed_semi_anti_string_keys(ray_session):
+    """string_key=True routes both sides through blake2b buckets; results
+    must equal plain set membership for both semi and anti."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_api_ray.pipelines.join import bucketed_semi_anti
+
+    rng = np.random.default_rng(21)
+    vocab = [f"fp-{i:04d}" for i in range(200)]
+    fact_keys = [vocab[i] for i in rng.integers(0, 200, 1_500)]
+    member = set(rng.choice(200, 30, replace=False).tolist())
+    keys = [vocab[i] for i in member]
+    fact = rd.from_arrow(
+        pa.table(
+            {
+                "fp": pa.array(fact_keys, pa.string()),
+                "v": pa.array(rng.integers(0, 100, 1_500), pa.int64()),
+            }
+        )
+    )
+    keys_ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.string())}))
+    schema = pa.schema([("fp", pa.string()), ("v", pa.int64())])
+    for anti in (False, True):
+        got = sorted(
+            (r["fp"], r["v"])
+            for r in bucketed_semi_anti(
+                fact, "fp", keys_ds, "k", 16, anti=anti,
+                fact_schema=schema, string_key=True,
+            ).take_all()
+        )
+        kset = set(keys)
+        want = sorted(
+            (f, v) for f, v in zip(fact_keys,
+                                   fact.to_pandas()["v"].tolist())
+            if (f not in kset) == anti
+        )
+        assert got == want, f"anti={anti}"
