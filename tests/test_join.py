@@ -226,3 +226,40 @@ def test_bucketed_semi_anti_string_keys(ray_session):
             if (f not in kset) == anti
         )
         assert got == want, f"anti={anti}"
+
+
+def test_full_outer_string_keys_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from docling_api_ray.pipelines.join import bucketed_equi_join
+
+    rng = np.random.default_rng(4)
+    lk = [f"k{i}" for i in rng.integers(0, 30, 100)]
+    rk = [f"k{i}" for i in rng.integers(15, 45, 60)]
+    lv = rng.integers(0, 9, 100)
+    rv = rng.integers(0, 9, 60)
+    left = rd.from_arrow(pa.table({"lk": pa.array(lk), "lv": pa.array(lv)}))
+    right = rd.from_arrow(pa.table({"rk": pa.array(rk), "rv": pa.array(rv)}))
+    out = bucketed_equi_join(
+        left, "lk", right, "rk",
+        pa.schema([("lk", pa.string()), ("lv", pa.int64())]),
+        pa.schema([("rk", pa.string()), ("rv", pa.int64())]),
+        8, how="full outer", string_key=True,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame({"lk": lk, "lv": lv}))
+    con.register("r", pd.DataFrame({"rk": rk, "rv": rv}))
+    want = con.execute(
+        "SELECT coalesce(lk, rk) AS lk, lv, rv FROM l FULL OUTER JOIN r ON lk = rk"
+    ).fetchdf()
+    a = out.sort_values(["lk", "lv", "rv"], na_position="last").reset_index(drop=True)
+    b = want.sort_values(["lk", "lv", "rv"], na_position="last").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ("lk", "lv", "rv"):
+        for x, y in zip(a[c].tolist(), b[c].tolist()):
+            if (x != x) and (y != y):
+                continue  # both NaN
+            assert x == y, (c, x, y)
