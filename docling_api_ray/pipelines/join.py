@@ -468,3 +468,61 @@ def bucketed_bag_op(
         .groupby("__bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+BROADCAST_JOIN_THRESHOLD = 64 << 20  # build side ≤ this → map-side join
+
+
+def auto_equi_join(
+    left_ds: rd.Dataset,
+    left_key: str,
+    right_ds: rd.Dataset,
+    right_key: str,
+    left_schema: pa.Schema,
+    right_schema: pa.Schema,
+    n_buckets: int,
+    right_bytes: int,
+    how: str = "inner",
+    string_key: bool = False,
+    post=None,
+    broadcast_threshold: int = BROADCAST_JOIN_THRESHOLD,
+) -> rd.Dataset:
+    """Join-strategy selector: when the build (right) side is provably
+    small (`right_bytes`, e.g. from parquet footers via table_bytes), do a
+    BROADCAST map-side join — materialize the right table once, ray.put
+    it, and acero-join inside each left batch with zero shuffle. Otherwise
+    fall back to the one-shuffle bucketed join. This is the planner
+    decision every distributed engine makes; here it is an explicit,
+    testable seam (both paths produce identical rows; full outer always
+    buckets — a map-side join cannot observe right-side non-matches)."""
+    if right_bytes <= broadcast_threshold and how in ("inner", "left outer"):
+        import ray
+
+        right_tbl = pa.concat_tables(
+            ray.get(right_ds.to_arrow_refs())
+        ).combine_chunks().select(list(right_schema.names))
+        ref = ray.put(right_tbl)
+        left_names = list(left_schema.names)
+
+        def joiner(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            rt = _ray.get(ref)
+            out = t.select(left_names).join(
+                rt, keys=[left_key], right_keys=[right_key], join_type=how
+            )
+            return post(out) if post is not None else out
+
+        return left_ds.map_batches(joiner, batch_format="pyarrow")
+    return bucketed_equi_join(
+        left_ds,
+        left_key,
+        right_ds,
+        right_key,
+        left_schema,
+        right_schema,
+        n_buckets,
+        how=how,
+        string_key=string_key,
+        post=post,
+    )

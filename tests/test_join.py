@@ -263,3 +263,46 @@ def test_full_outer_string_keys_vs_duckdb(ray_session):
             if (x != x) and (y != y):
                 continue  # both NaN
             assert x == y, (c, x, y)
+
+
+def test_auto_equi_join_both_paths_agree(ray_session):
+    """The broadcast and bucketed paths of auto_equi_join must return
+    identical rows; the threshold selects between them."""
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_api_ray.pipelines.join import auto_equi_join
+
+    rng = np.random.default_rng(13)
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rng.integers(0, 100, 800), pa.int64()),
+                "lv": pa.array(rng.integers(0, 50, 800), pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "j": pa.array(rng.choice(150, 60, replace=False), pa.int64()),
+                "rv": pa.array(rng.integers(0, 50, 60), pa.int64()),
+            }
+        )
+    )
+    ls = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    rs = pa.schema([("j", pa.int64()), ("rv", pa.int64())])
+    for how in ("inner", "left outer"):
+        results = []
+        for threshold in (1 << 30, 0):  # force broadcast, then bucketed
+            df = (
+                auto_equi_join(
+                    left, "k", right, "j", ls, rs, 16,
+                    right_bytes=1024, how=how, broadcast_threshold=threshold,
+                )
+                .to_pandas()
+                .sort_values(["k", "lv", "rv"], na_position="last")
+                .reset_index(drop=True)
+            )
+            results.append(df)
+        assert results[0].equals(results[1]), how
