@@ -257,6 +257,35 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# cume_dist window (ties share the max rank): evaluated key-bucketed like
+# the other per-key windows — one shuffle, vectorized rank across every
+# nation in the bucket.
+def q_cust_cume_dist(sf_dir: str):
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def cume(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_nationkey", "c_acctbal", "c_custkey"])
+        grp = g.groupby("c_nationkey")["c_acctbal"]
+        cd = grp.rank(method="max") / grp.transform("size")
+        return pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"].to_numpy(),
+                "c_nationkey": g["c_nationkey"].to_numpy(),
+                "cume": np.round(cd.to_numpy(), 6),
+            }
+        )
+
+    return key_bucketed(ds, "c_nationkey", cume)
+
+
+CUME_DIST_SQL = """
+SELECT c_custkey, c_nationkey,
+       round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal), 6)
+           AS cume
+FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # GROUPED exact quantiles — same value-histogram pattern, one histogram
 # per group key; selection is vectorized over the tiny (flag × value)
@@ -662,6 +691,7 @@ QUERIES = {
     "q_orders_pivot": q_orders_pivot,
     "q_lineitem_corr": q_lineitem_corr,
     "q_lineitem_corr_by_flag": q_lineitem_corr_by_flag,
+    "q_cust_cume_dist": q_cust_cume_dist,
     "q_orders_running_total": q_orders_running_total,
     "q_events_lag_delta": q_events_lag_delta,
     "q_events_moving_avg": q_events_moving_avg,
@@ -677,6 +707,7 @@ ORACLE = {
     "q_orders_pivot": PIVOT_SQL,
     "q_lineitem_corr": CORR_SQL,
     "q_lineitem_corr_by_flag": CORR_BY_FLAG_SQL,
+    "q_cust_cume_dist": CUME_DIST_SQL,
     "q_orders_running_total": RUNNING_TOTAL_SQL,
     "q_events_lag_delta": LAG_DELTA_SQL,
     "q_events_moving_avg": MOVING_AVG_SQL,

@@ -87,6 +87,7 @@ _PRIORITY = (
     "q_events_moving_avg",
     "q_lang_heavy_hitters",
     "q_lineitem_corr_by_flag",
+    "q_cust_cume_dist",
     # core representatives per operator family (stable, keep evaluated)
     "q1_pricing_summary",
     "q6_revenue_filter",
