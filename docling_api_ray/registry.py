@@ -25,74 +25,87 @@ from .pipelines import (
 _MODULES = (relational, events, analytics, text, similarity, extraction_queries)
 
 # Evaluation-window order. Anything not listed here follows in module order.
+#
+# INVARIANT (tests/test_registry_window.py): every registered query must
+# either sit inside the first DRIVER_WINDOW entries of all_queries() or
+# already hold an evaluated row in some CORRECTNESS_r*.json. Adding a new
+# query therefore REQUIRES placing it in the window (and rotating a
+# repeatedly-green entry out) — overflow can no longer ship silently.
+DRIVER_WINDOW = 50
+
 _PRIORITY = (
-    # flagship extraction + media (never driver-evaluated before r03)
-    "q_extract_documents",
-    "q_extract_ooxml",
-    "q_extract_kind_stats",
-    "q_extract_credits",
-    "q_extract_usage_summary",
-    "q_media_features",
-    "q_media_frame_sample",
-    # similarity / embeddings (never driver-evaluated before r03)
-    "q_ann_topk",
-    "q_embedding_label_stats",
-    "q_embedding_near_dup",
-    "q_ann_ivf",
-    "q_knn_label_votes",
-    "q_embedding_clusters",
-    # text operators added late in r02 (never driver-evaluated)
-    "q_doc_sample",
-    "q_doc_stratified_sample",
-    "q_doc_explode_tokens",
-    "q_doc_tfidf",
-    "q_word_topk",
-    # changed in r03 — need fresh driver evidence (ABOVE the new-op block
-    # so growth there can never push these out of the window)
-    "q_orders_running_total",
-    "q_top_orders_per_segment",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "q_top_customers",
-    "q_nation_customer_stats",
-    "q_cust_order_counts",
-    "q_doc_minhash_pairs",
-    "q_doc_rolling_fingerprint",
-    "q10_returned_items",  # join rewritten in r03 (driver dicts removed)
-    # new operators in r03 — need first driver evidence
-    "q_doc_curation",
-    "q_doc_repetition",
-    "q_doc_pack_sequences",
-    "q_doc_decontaminate",
-    "q_dup_clusters",
-    "q_price_quantiles_sketch",
-    "q_word_heavy_hitters",
-    "q_events_json_extract",
-    "q_events_scrub",
-    "q_doc_mixture_resample",
-    "q_doc_lm_score",
-    "q_semi_join_bloom",
-    "q_events_user_hll",
-    "q_intersect_all_custkeys",
-    "q_ann_lsh",
-    "q_full_outer_status",
-    "q_doc_compress_ratio",
-    "q_orders_global_rownum",
-    "q_except_all_custkeys",
-    "q_lineitem_profile",
-    "q_doc_chunks",
-    "q_price_quantiles_by_flag",
+    # --- never driver-evaluated (r03 window overflow) — FIRST until each
+    #     has a CORRECTNESS row (VERDICT r03 "what's wrong" #1)
     "q_doc_priority_sample",
     "q_doc_split_assign",
     "q_events_moving_avg",
     "q_lang_heavy_hitters",
     "q_lineitem_corr_by_flag",
     "q_cust_cume_dist",
-    # core representatives per operator family (stable, keep evaluated)
+    "q_dup_clusters_distributed",
+    # --- changed in r04 — need fresh driver evidence
+    "q_word_topk",           # tokenization vectorized (dictionary-encode kernel)
+    "q_word_heavy_hitters",  # sketch + exact pass vectorized
+    "q_doc_lm_score",        # per-token scoring loop -> searchsorted table
+    "q3_top_orders",         # wired through auto_equi_join
+    "q5_region_revenue",     # wired through auto_equi_join
+    "q_semi_join_bloom",     # tree-merged Bloom build
+    "q_doc_decontaminate",   # oracle SQL regex-escape parity (ADVICE)
+    "q_doc_mixture_resample",  # empty-input guards (ADVICE)
+    "q_ann_topk",            # zero-copy embedding stacking (all similarity)
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_embedding_near_dup",
+    "q_embedding_label_stats",
+    "q_knn_label_votes",
+    "q_embedding_clusters",
+    "q_full_outer_status",   # string-key joins: hash_bucket_col vectorized
+    # --- new in r04
+    "q_extract_xlsx",        # xlsx_xml format (OOXML family complete)
+    # --- extraction family (DuckDB-oracle upgrade attempted in r04)
+    "q_extract_documents",
+    "q_extract_ooxml",
+    "q_extract_kind_stats",
+    "q_extract_credits",
+    "q_extract_usage_summary",
+    # --- stable representatives filling the window to DRIVER_WINDOW
     "q1_pricing_summary",
     "q6_revenue_filter",
-    "q_lineitem_quantiles",
+    "q_lineitem_quantiles",     # r03 bench-tail anomaly: keep evidenced
+    "q_orders_running_total",   # r03 bench-tail anomaly: keep evidenced
     "q_doc_exact_dedup",
+    "q_doc_minhash_pairs",
+    "q_media_features",
+    "q_media_frame_sample",
+    "q_doc_curation",
+    "q_doc_repetition",
+    "q_doc_pack_sequences",
+    "q_events_sessionize",
+    "q_cust_order_counts",
+    "q_top_customers",
+    "q10_returned_items",
+    "q_top_orders_per_segment",
+    "q_nation_customer_stats",
+    "q_intersect_all_custkeys",
+    # ---------------- below here = past the driver window ----------------
+    # repeatedly-green, unchanged entries and rows-only twins of
+    # SQL-checked ops — fully registered and pytest-gated.
+    "q_except_all_custkeys",
+    "q_price_quantiles_by_flag",
+    "q_doc_chunks",
+    "q_doc_sample",
+    "q_doc_stratified_sample",
+    "q_doc_explode_tokens",
+    "q_doc_tfidf",
+    "q_doc_rolling_fingerprint",
+    "q_dup_clusters",
+    "q_price_quantiles_sketch",
+    "q_events_json_extract",
+    "q_events_scrub",
+    "q_events_user_hll",
+    "q_doc_compress_ratio",
+    "q_orders_global_rownum",
+    "q_lineitem_profile",
     "q_doc_token_counts",
     "q_doc_quality",
     "q_doc_langid",
@@ -100,13 +113,10 @@ _PRIORITY = (
     "q_anti_join_customers",
     "q_set_ops_customers",
     "q_sort_topk_lineitem",
-    "q_events_sessionize",
     "q_events_asof",
     "q_events_sliding",
     "q_events_funnel",
     "q_quantity_quantiles_by_flag",
-    # below here = past the driver's ~50-entry window: repeatedly-green
-    # (r01+r02), unchanged entries and rows-only twins of SQL-checked ops
     "q_intersect_customers",
     "q_union_distinct_customers",
     "q_events_retention",
