@@ -343,6 +343,13 @@ def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
     words = (m_bits + 63) // 64
 
     def partial(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(key).type):
+            raise TypeError(
+                f"build_bloom: key column {key!r} must be integer "
+                f"(got {t.schema.field(key).type}); the position hash is "
+                "int64-only. Use bucketed_semi_anti(string_key=True) for "
+                "string keys."
+            )
         vals = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.unique(_bloom_positions(vals, m_bits).ravel())
         return pa.table({"pos": pa.array(pos, pa.int64())})
@@ -377,6 +384,10 @@ def bloom_semi_anti(
     post=None,
 ) -> rd.Dataset:
     """bucketed_semi_anti with a Bloom prefilter on the fact side.
+
+    INTEGER KEYS ONLY (both sides): the Bloom position hash is int64
+    (build_bloom raises TypeError otherwise). String-keyed semi/anti
+    joins go through plain bucketed_semi_anti(string_key=True).
 
     semi: only probable members enter the shuffle (exact resolution
     unchanged). anti: definite non-members (Bloom misses) stream straight
@@ -495,6 +506,14 @@ def auto_equi_join(
     decision every distributed engine makes; here it is an explicit,
     testable seam (both paths produce identical rows; full outer always
     buckets — a map-side join cannot observe right-side non-matches)."""
+    # Validate identically to bucketed_equi_join so an invalid schema pair
+    # fails the same way regardless of which strategy the size pick takes.
+    assert how in ("inner", "left outer", "full outer"), how
+    assert left_key != right_key, "rename one side's key: names must differ"
+    overlap = (set(left_schema.names) - {left_key}) & (
+        set(right_schema.names) - {right_key}
+    )
+    assert not overlap, f"column collision: {overlap}"
     if right_bytes <= broadcast_threshold and how in ("inner", "left outer"):
         import ray
 

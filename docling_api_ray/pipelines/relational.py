@@ -318,7 +318,11 @@ def q5_region_revenue(sf_dir: str):
 
     # final merge: ≤ nb_ord × 5 partial rows — output-bounded driver fold
     # (cheaper than a fourth all-to-all barrier for a 5-row result)
-    part = pa.Table.from_pylist(partials.take_all())
+    rows = partials.take_all()
+    if not rows:  # from_pylist([]) is zero-column; group_by would raise
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
+    part = pa.Table.from_pylist(rows)
     g = part.group_by("nk").aggregate([("rev", "sum")])
     names = pa.array([n_name[k] for k in g["nk"].to_pylist()], type=pa.string())
     out = pa.table({"n_name": names, "revenue": g["rev_sum"]})
@@ -723,7 +727,12 @@ def q_top_orders_per_segment(sf_dir: str):
     )
 
     # merge partials: ≤ nb × 5 × 3 rows — output-bounded driver fold
-    part = pa.Table.from_pylist(partials.take_all()).to_pandas()
+    rows = partials.take_all()
+    if not rows:
+        return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_totalprice": pa.array([], pa.float64())})
+    part = pa.Table.from_pylist(rows).to_pandas()
     part = part.sort_values(
         ["c_mktsegment", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
     )
@@ -1016,7 +1025,13 @@ def q_cust_order_counts(sf_dir: str):
 
     partials = both.groupby("bucket").map_groups(bucket_rollup, batch_format="pandas")
     # ≤ nb × 5 rows — fold on the driver instead of a second barrier
-    part = pa.Table.from_pylist(partials.take_all())
+    rows = partials.take_all()
+    if not rows:
+        return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                         "n_customers": pa.array([], pa.int64()),
+                         "n_no_orders": pa.array([], pa.int64()),
+                         "total_orders": pa.array([], pa.int64())})
+    part = pa.Table.from_pylist(rows)
     g = part.group_by("c_mktsegment").aggregate(
         [("n_customers", "sum"), ("n_no_orders", "sum"), ("total_orders", "sum")]
     )

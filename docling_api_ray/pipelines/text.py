@@ -994,6 +994,8 @@ def q_doc_mixture_resample(sf_dir: str):
         r["lang"]: r["n"]
         for r in ds.groupby("lang").aggregate(Count(alias_name="n")).take_all()
     }
+    if not counts:  # empty documents table: min() would raise
+        return ds
     mc = min(counts.values())
     thr = {
         lang: (None if c == mc else format(int(np.floor(mc * _MIX_DEN / c)), "08x"))
@@ -1001,9 +1003,11 @@ def q_doc_mixture_resample(sf_dir: str):
     }
 
     def samp(t: pa.Table) -> pa.Table:
+        # thr.get: a lang absent from the first-pass counts (input changed
+        # between passes) is kept rather than KeyError-ing the whole job.
         keep = [
-            thr[lang] is None
-            or hashlib.md5(str(d).encode()).hexdigest()[:8] < thr[lang]
+            (th := thr.get(lang)) is None
+            or hashlib.md5(str(d).encode()).hexdigest()[:8] < th
             for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist())
         ]
         return t.filter(pa.array(keep))
@@ -1934,7 +1938,12 @@ WITH held AS (
 SELECT d.doc_id,
        CAST(CASE WHEN EXISTS (
          SELECT 1 FROM probes p
-         WHERE regexp_matches(trim(d.text), '(^| )' || p.probe || '( |$)')
+         WHERE regexp_matches(
+           trim(d.text),
+           '(^| )'
+             || regexp_replace(p.probe,
+                               '([.*+?^${{}}()|\[\]\\\\])', '\\\1', 'g')
+             || '( |$)')
        ) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM documents d
 WHERE d.doc_id % {DECON_MOD} <> 0
