@@ -17,12 +17,15 @@ Datasets — nothing is materialized on the driver.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+logger = logging.getLogger("docling_api_ray.join")
 
 TARGET_BUCKET_BYTES = 64 << 20  # ~64 MB of input per bucket group
 
@@ -496,7 +499,7 @@ def auto_equi_join(
     how: str = "inner",
     string_key: bool = False,
     post=None,
-    broadcast_threshold: int = BROADCAST_JOIN_THRESHOLD,
+    broadcast_threshold: int | None = None,
 ) -> rd.Dataset:
     """Join-strategy selector: when the build (right) side is provably
     small (`right_bytes`, e.g. from parquet footers via table_bytes), do a
@@ -514,7 +517,15 @@ def auto_equi_join(
         set(right_schema.names) - {right_key}
     )
     assert not overlap, f"column collision: {overlap}"
-    if right_bytes <= broadcast_threshold and how in ("inner", "left outer"):
+    if broadcast_threshold is None:  # late-bound so tests can monkeypatch
+        broadcast_threshold = BROADCAST_JOIN_THRESHOLD
+    broadcast = right_bytes <= broadcast_threshold and how in ("inner", "left outer")
+    logger.info(
+        "auto_equi_join %s=%s: right_bytes=%d threshold=%d how=%s -> %s",
+        left_key, right_key, right_bytes, broadcast_threshold, how,
+        "broadcast" if broadcast else "bucketed",
+    )
+    if broadcast:
         import ray
 
         right_tbl = pa.concat_tables(
@@ -544,4 +555,74 @@ def auto_equi_join(
         how=how,
         string_key=string_key,
         post=post,
+    )
+
+
+def auto_semi_anti(
+    fact_ds: rd.Dataset,
+    fact_key: str,
+    keys_ds: rd.Dataset,
+    keys_key: str,
+    n_buckets: int,
+    keys_bytes: int,
+    anti: bool = False,
+    fact_schema: pa.Schema | None = None,
+    post=None,
+    broadcast_threshold: int | None = None,
+) -> tuple[rd.Dataset, str]:
+    """Strategy selector for semi/anti joins: when the KEYS side is
+    provably small (`keys_bytes`, e.g. parquet footer bytes of its source
+    table — an upper bound on the filtered key set), collect its DISTINCT
+    keys once, ray.put them, and filter the fact side map-side with
+    `is_in` — zero shuffle. Otherwise the one-shuffle bucketed exact
+    semi/anti join. Returns (dataset, "broadcast" | "bucketed").
+
+    The driver-side key collection is gated by the byte bound, which is
+    how the repo's "driver key sets only for dimension tables or
+    output-sized sets" rule stays honest at 100x: past the threshold the
+    same call buckets instead.
+
+    CAUTION: in broadcast mode `post` runs per fact BATCH (a key's rows
+    may span batches), while in bucketed mode it runs per key-complete
+    bucket. A `post` that aggregates per key is FINAL under "bucketed"
+    but PARTIAL under "broadcast" — branch on the returned mode and
+    re-merge (see q3_top_orders).
+    """
+    if broadcast_threshold is None:  # late-bound so tests can monkeypatch
+        broadcast_threshold = BROADCAST_JOIN_THRESHOLD
+    broadcast = keys_bytes <= broadcast_threshold
+    logger.info(
+        "auto_semi_anti %s=%s: keys_bytes=%d threshold=%d anti=%s -> %s",
+        fact_key, keys_key, keys_bytes, broadcast_threshold, anti,
+        "broadcast" if broadcast else "bucketed",
+    )
+    if broadcast:
+        import ray
+
+        keys_tbl = pa.concat_tables(ray.get(keys_ds.to_arrow_refs()))
+        kset = pc.unique(keys_tbl[keys_key].combine_chunks())
+        ref = ray.put(kset)
+
+        def filt(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            m = pc.is_in(t[fact_key], value_set=_ray.get(ref))
+            if anti:
+                m = pc.invert(m)
+            out = t.filter(m)
+            return post(out) if post is not None else out
+
+        return fact_ds.map_batches(filt, batch_format="pyarrow"), "broadcast"
+    return (
+        bucketed_semi_anti(
+            fact_ds,
+            fact_key,
+            keys_ds,
+            keys_key,
+            n_buckets,
+            anti=anti,
+            fact_schema=fact_schema,
+            post=post,
+        ),
+        "bucketed",
     )

@@ -32,6 +32,8 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from .join import (
     adaptive_n_buckets,
+    auto_equi_join,
+    auto_semi_anti,
     bucketed_equi_join,
     bucketed_except_keys,
     bucketed_semi_anti,
@@ -137,9 +139,10 @@ WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
 # Q3-style: broadcast dim filter + DISTRIBUTED semi-join + grouped agg + top-k
 def q3_top_orders(sf_dir: str):
     # customer scales with sf (TPC-H: 150k rows/sf), so its BUILDING key
-    # set is NOT driver-collectible at 100x — both reductions ride
-    # bucketed semi-joins: orders⋉customer on custkey, then
-    # lineitem⋉orders on orderkey. No driver key collection anywhere.
+    # set is NOT unconditionally driver-collectible — both reductions ride
+    # auto_semi_anti: below the byte threshold the key set broadcasts
+    # (zero shuffle), above it the same call hash-buckets. The byte bound
+    # comes from parquet footers, so the decision is provable, not vibes.
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
     def building_keys(t: pa.Table) -> pa.Table:
@@ -152,12 +155,13 @@ def q3_top_orders(sf_dir: str):
         return t.select(["o_orderkey", "o_custkey"])
 
     nb_cust = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
-    okeys_tbl = bucketed_semi_anti(
+    okeys_tbl, _ = auto_semi_anti(
         orders.map_batches(filt_orders, batch_format="pyarrow"),
         "o_custkey",
         cust.map_batches(building_keys, batch_format="pyarrow"),
         "c_custkey",
         nb_cust,
+        keys_bytes=table_bytes(sf_dir, "customer"),
         fact_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
         post=lambda t: t.select(["o_orderkey"]),
     )
@@ -180,23 +184,30 @@ def q3_top_orders(sf_dir: str):
     nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
 
     def agg_in_bucket(t: pa.Table) -> pa.Table:
-        # buckets hold every lineitem of their order keys, so this
-        # per-bucket sum IS the final per-order revenue — no second
-        # all-to-all aggregate needed
+        # bucketed: a bucket holds every lineitem of its order keys, so
+        # this sum is FINAL per order. broadcast: it is a per-batch
+        # PARTIAL — the mode branch below re-merges.
         g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
         return g.select(["l_orderkey", "rev_sum"]).rename_columns(
             ["l_orderkey", "revenue"]
         )
 
-    joined = bucketed_semi_anti(
+    joined, mode = auto_semi_anti(
         li.map_batches(filt_li, batch_format="pyarrow"),
         "l_orderkey",
         okeys_tbl,
         "o_orderkey",
         nb,
+        keys_bytes=table_bytes(sf_dir, "orders"),
         fact_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())]),
         post=agg_in_bucket,
     )
+    if mode == "broadcast":
+        # merge the per-batch partials: order-grained rows only (far
+        # smaller than the lineitem stream the bucketed path shuffles)
+        joined = joined.groupby("l_orderkey").aggregate(
+            Sum("revenue", alias_name="revenue")
+        )
     out = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
     t = out.take_all()
     tbl = pa.Table.from_pylist(t)
@@ -253,8 +264,10 @@ def q5_region_revenue(sf_dir: str):
     def filt_cust(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["c_nationkey"], value_set=asia_arr))
 
+    # strategy selector: the filtered customer side is bounded by the
+    # customer table's footer bytes — broadcast when small, bucket at 100x
     nb_cust = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
-    ord_nat = bucketed_equi_join(
+    ord_nat = auto_equi_join(
         orders.map_batches(filt_orders, batch_format="pyarrow"),
         "o_custkey",
         customer.map_batches(filt_cust, batch_format="pyarrow"),
@@ -262,6 +275,7 @@ def q5_region_revenue(sf_dir: str):
         left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
         right_schema=pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int64())]),
         n_buckets=nb_cust,
+        right_bytes=table_bytes(sf_dir, "customer"),
         how="inner",
         post=lambda t: t.select(["o_orderkey", "c_nationkey"]),
     )
@@ -280,7 +294,7 @@ def q5_region_revenue(sf_dir: str):
         return t.filter(pc.is_in(t["s_nationkey"], value_set=asia_arr))
 
     nb_supp = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "supplier"))
-    li_nat = bucketed_equi_join(
+    li_nat = auto_equi_join(
         li.map_batches(li_prep, batch_format="pyarrow"),
         "l_suppkey",
         supplier.map_batches(filt_supp, batch_format="pyarrow"),
@@ -290,6 +304,7 @@ def q5_region_revenue(sf_dir: str):
         ),
         right_schema=pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int64())]),
         n_buckets=nb_supp,
+        right_bytes=table_bytes(sf_dir, "supplier"),
         how="inner",
         post=lambda t: t.select(["l_orderkey", "s_nationkey", "rev"]),
     )
@@ -301,8 +316,12 @@ def q5_region_revenue(sf_dir: str):
         g = t.group_by("s_nationkey").aggregate([("rev", "sum")])
         return pa.table({"nk": g["s_nationkey"], "rev": g["rev_sum"]})
 
+    # J3's build side (date-filtered ASIA orders) is bounded by the
+    # orders footer bytes; post_same_nation emits mergeable partials so it
+    # is correct per-batch (broadcast) AND per-bucket (bucketed) — the
+    # driver fold below re-groups either way.
     nb_ord = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
-    partials = bucketed_equi_join(
+    partials = auto_equi_join(
         li_nat,
         "l_orderkey",
         ord_nat,
@@ -312,6 +331,7 @@ def q5_region_revenue(sf_dir: str):
         ),
         right_schema=pa.schema([("o_orderkey", pa.int64()), ("c_nationkey", pa.int64())]),
         n_buckets=nb_ord,
+        right_bytes=table_bytes(sf_dir, "orders"),
         how="inner",
         post=post_same_nation,
     )
