@@ -77,29 +77,70 @@ def bucket_col(key: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
     )
 
 
+_POLY_P = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+
+def hash_strings(arr: pa.Array) -> np.ndarray:
+    """Vectorized deterministic 64-bit hash of every string in an Arrow
+    string array: a polynomial hash over the raw value buffer —
+    h(s) = Σ (byte_i + 1)·P^(L-1-i) mod 2^64, length-mixed and finished
+    with SplitMix64 — computed with numpy over (offsets, data) directly.
+    No Python per value (the old blake2b path paid one hashlib call per
+    unique string, one per ROW for near-unique keys). Stable across
+    processes (pure arithmetic, no seed)."""
+    from .util import splitmix64
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    lo, hi = int(offs[0]), int(offs[-1])
+    offs = offs - lo
+    lens = np.diff(offs)
+    if hi == lo:  # all values empty
+        return splitmix64(lens.astype(np.uint64))
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[lo:hi].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = np.empty(int(lens.max()), dtype=np.uint64)
+        powers[0] = 1
+        if len(powers) > 1:
+            np.multiply.accumulate(
+                np.full(len(powers) - 1, _POLY_P, dtype=np.uint64),
+                out=powers[1:],
+            )
+        # exponent of byte i = (its string's end offset − 1 − i)
+        exp = np.repeat(offs[1:], lens) - 1 - np.arange(len(data), dtype=np.int64)
+        contrib = (data + np.uint64(1)) * powers[exp]
+        # reduceat over NON-EMPTY starts only: empty strings occupy no
+        # bytes, so consecutive non-empty starts delimit each string
+        # exactly (zero-length segments would make reduceat return the
+        # next string's first byte, or reject start == len(data)).
+        nz = lens > 0
+        sums = np.zeros(len(lens), dtype=np.uint64)
+        sums[nz] = np.add.reduceat(contrib, offs[:-1][nz])
+        return splitmix64(sums ^ lens.astype(np.uint64))
+
+
 def hash_bucket_col(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
-    """Deterministic bucket for STRING keys: blake2b over each distinct
-    value (dictionary-encoded, so the hash runs once per unique value per
-    batch, not per row), spread into [0, n_buckets). Stable across
-    processes — never Python's salted hash(). n_buckets MUST be a power
-    of two (the spread is a bitmask; a non-power-of-two would skew
-    buckets and leave some indices unreachable)."""
+    """Deterministic bucket for STRING keys: vectorized polynomial hash
+    (`hash_strings`) over the raw string buffer, spread into
+    [0, n_buckets). Stable across processes — never Python's salted
+    hash(). n_buckets MUST be a power of two (the spread is a bitmask; a
+    non-power-of-two would skew buckets and leave some indices
+    unreachable)."""
     assert n_buckets & (n_buckets - 1) == 0 and n_buckets > 0, (
         f"n_buckets must be a power of two, got {n_buckets}"
     )
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    d = col.dictionary_encode()
-    uniq = d.dictionary.to_pylist()
-    h = [
-        int.from_bytes(
-            hashlib.blake2b(str(u).encode("utf-8"), digest_size=4).digest(), "big"
-        )
-        & (n_buckets - 1)
-        for u in uniq
-    ]
-    idx = d.indices.to_numpy(zero_copy_only=False)
-    return pa.array(np.asarray(h, dtype=np.int32)[idx], type=pa.int32())
+    h = hash_strings(col) & np.uint64(n_buckets - 1)
+    return pa.array(h.astype(np.int32), type=pa.int32())
 
 
 def bucketed_equi_join(

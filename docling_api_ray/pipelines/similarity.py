@@ -29,7 +29,35 @@ N_QUERIES = 10
 
 
 def _stack(batch_col) -> np.ndarray:
-    return np.array(batch_col.to_pylist(), dtype=np.float64)
+    """list<float> column -> (n, d) float64 matrix via the flattened
+    child buffer — zero-copy from the Arrow value buffer (the old
+    to_pylist round-trip built n×d Python floats; ~10x on a wide
+    embedding table). Requires fixed-length lists (embeddings are)."""
+    col = (
+        batch_col.combine_chunks()
+        if isinstance(batch_col, pa.ChunkedArray)
+        else batch_col
+    )
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError("ragged embedding lists: expected fixed dimension")
+    flat = pc.list_flatten(col)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat.to_numpy(zero_copy_only=False).reshape(n, d).astype(
+        np.float64, copy=False
+    )
+
+
+def _list_array(mat: np.ndarray, value_type: pa.DataType) -> pa.Array:
+    """(n, d) matrix -> Arrow list array without a Python list round-trip."""
+    n, d = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), pa.int32())
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1), value_type))
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -50,7 +78,7 @@ def _query_matrix(sf_dir: str):
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", N_QUERIES)],
     )
-    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mat = _normalize(_stack(t["embedding"]))
     order = np.argsort(ids)
     return ids[order], mat[order]
@@ -63,7 +91,7 @@ def q_ann_topk(sf_dir: str):
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         ids, qm = ray.get(ref)
-        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(vids) == 0:
             return pa.table(
                 {"query_id": pa.array([], pa.int64()),
@@ -174,7 +202,7 @@ def q_embedding_near_dup(sf_dir: str):
 
     def assign(batch: pa.Table) -> pa.Table:
         cs = ray.get(ref)
-        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(vids) == 0:
             return pa.table(
                 {
@@ -192,19 +220,17 @@ def q_embedding_near_dup(sf_dir: str):
             {
                 "bucket": pa.array(probes.T.reshape(-1), pa.int32()),
                 "vec_id": pa.array(np.tile(vids, k), pa.int64()),
-                "emb": pa.array(np.tile(emb, (k, 1)).tolist(), pa.list_(pa.float64())),
-                "probes": pa.array(
-                    np.tile(probes, (k, 1)).tolist(), pa.list_(pa.int32())
-                ),
+                "emb": _list_array(np.tile(emb, (k, 1)), pa.float64()),
+                "probes": _list_array(np.tile(probes, (k, 1)), pa.int32()),
             }
         )
 
     def pairs_in_bucket(g: pa.Table) -> pa.Table:
         bucket = g["bucket"][0].as_py()
-        vids = np.array(g["vec_id"].to_pylist(), dtype=np.int64)
+        vids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(vids, kind="stable")
         vids = vids[order]
-        mat = np.array(g["emb"].to_pylist(), dtype=np.float64)[order]
+        mat = _stack(g["emb"])[order]
         probes = [set(p) for p in g["probes"].to_pylist()]
         probes = [probes[i] for i in order]
         sims = mat @ mat.T
@@ -290,7 +316,7 @@ def q_ann_ivf(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         ids, qm, cs, probes = ray.get(ref)
-        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_n, out_s = [], [], []
         if len(vids):
             emb = _normalize(_stack(batch["embedding"]))
@@ -376,7 +402,7 @@ def q_ann_lsh(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         ids, qm, pl, probes = ray.get(ref)
-        vids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_q, out_n, out_s = [], [], []
         if len(vids):
             emb = _normalize(_stack(batch["embedding"]))

@@ -306,3 +306,42 @@ def test_auto_equi_join_both_paths_agree(ray_session):
             )
             results.append(df)
         assert results[0].equals(results[1]), how
+
+
+def test_hash_strings_position_and_null_invariance():
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_api_ray.pipelines.join import hash_strings
+
+    vals = ["", "a", "ab", "ba", "a" * 100, "a" * 99 + "b",
+            "doc-000123", "doc-000124", "日本語", None]
+    h1 = hash_strings(pa.array(vals, pa.string()))
+    # deterministic
+    assert (h1 == hash_strings(pa.array(vals, pa.string()))).all()
+    # same value hashes identically regardless of position / neighbors
+    h2 = hash_strings(pa.array(["doc-000124", "ab", None, ""], pa.string()))
+    assert h2[0] == h1[7] and h2[1] == h1[2]
+    assert h2[2] == h2[3] == h1[0]  # null hashes like ""
+    # distinct values -> distinct hashes on this set
+    assert len(set(h1.tolist())) == 9
+    # sliced arrays see only their own window
+    hs = hash_strings(pa.array(["x", "ab", "ba"]).slice(1))
+    assert hs[0] == h1[2] and hs[1] == h1[3]
+    # trailing/leading empties don't corrupt neighbors (reduceat edge)
+    he = hash_strings(pa.array(["abc", "", ""], pa.string()))
+    assert he[1] == he[2] == h1[0]
+    assert hash_strings(pa.array(["", "abc"], pa.string()))[1] == he[0]
+
+
+def test_hash_bucket_col_distribution():
+    import numpy as np
+    import pyarrow as pa
+
+    from docling_api_ray.pipelines.join import hash_bucket_col
+
+    keys = pa.array([f"doc-{i:06d}" for i in range(100_000)], pa.string())
+    b = hash_bucket_col(keys, 256).to_numpy(zero_copy_only=False)
+    counts = np.bincount(b, minlength=256)
+    ideal = 100_000 / 256
+    assert counts.min() > ideal * 0.6 and counts.max() < ideal * 1.5
