@@ -377,16 +377,23 @@ def _bloom_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
         )
 
 
+BLOOM_MERGE_FANIN = 8  # tree-merge arity
+
+
 def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
-    """OR-merge per-batch Bloom bitmaps into one uint64 word array. The
-    driver holds m_bits/8 bytes — sized by the FILTER, not the key count
-    (pick m_bits ≈ 10× expected distinct keys for ~1% false positives).
-    Each batch's partial is a sparse position list (positions are ≤
-    BLOOM_N_HASHES × batch rows — batch-bounded), so the object store
-    never carries full bitmaps."""
+    """Distributed tree-merged Bloom build: each keys block becomes a
+    partial BITMAP in a Ray task (sparse positions -> word array), then
+    bitmaps OR-merge in a fan-in tree of Ray tasks — the driver receives
+    exactly ONE m_bits/8-byte array and does zero per-block work. Sized by
+    the FILTER, not the key count (pick m_bits ≈ 10× expected distinct
+    keys for ~1% false positives). Leaf work overlaps the keys-side read
+    (one task per block as blocks materialize); the reduce is
+    log_FANIN(blocks) deep instead of a serial driver loop."""
+    import ray
+
     words = (m_bits + 63) // 64
 
-    def partial(t: pa.Table) -> pa.Table:
+    def positions(t: pa.Table) -> pa.Table:
         if not pa.types.is_integer(t.schema.field(key).type):
             raise TypeError(
                 f"build_bloom: key column {key!r} must be integer "
@@ -398,15 +405,32 @@ def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
         pos = np.unique(_bloom_positions(vals, m_bits).ravel())
         return pa.table({"pos": pa.array(pos, pa.int64())})
 
-    bitmap = np.zeros(words, dtype=np.uint64)
-    for batch in keys_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        pos = batch["pos"].to_numpy(zero_copy_only=False)
-        np.bitwise_or.at(
-            bitmap, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
-        )
-    return bitmap
+    @ray.remote
+    def leaf_bitmap(tbl: pa.Table) -> np.ndarray:
+        bm = np.zeros(words, dtype=np.uint64)
+        pos = tbl["pos"].to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+        return bm
+
+    @ray.remote
+    def or_merge(*bms: np.ndarray) -> np.ndarray:
+        out = bms[0].copy()
+        for b in bms[1:]:
+            np.bitwise_or(out, b, out=out)
+        return out
+
+    refs = [
+        leaf_bitmap.remote(r)
+        for r in keys_ds.map_batches(positions, batch_format="pyarrow").to_arrow_refs()
+    ]
+    if not refs:
+        return np.zeros(words, dtype=np.uint64)
+    while len(refs) > 1:
+        refs = [
+            or_merge.remote(*refs[i : i + BLOOM_MERGE_FANIN])
+            for i in range(0, len(refs), BLOOM_MERGE_FANIN)
+        ]
+    return ray.get(refs[0])
 
 
 def bloom_contains(bitmap: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
