@@ -413,11 +413,84 @@ def extract_pptx(payload: str, cfg: PipelineConfig) -> list[tuple[str, str, str]
     return out
 
 
+_XLSX_INERT = frozenset({"drawing", "picture"})
+_XLSX_TEXT_TAGS = frozenset({"v", "t"})
+
+
+def _xlsx_gather(node: _Node, parts: list[str], in_text: bool = False) -> None:
+    """Spec rule x1: text carried by <v>/<t> descendants, concatenated
+    with no implicit separator."""
+    for c in node.children:
+        if isinstance(c, str):
+            if in_text:
+                parts.append(c)
+            continue
+        if c.tag in _XLSX_INERT:
+            continue
+        _xlsx_gather(c, parts, in_text or c.tag in _XLSX_TEXT_TAGS)
+
+
+def _xlsx_rows(sd: _Node, in_t: bool) -> list[list[str]]:
+    """Spec rule x2 row/cell collection for the outermost sheetData."""
+    rows: list[list[str]] = []
+
+    def collect_cells(n: _Node, row: list[str], it: bool) -> None:
+        for c in n.children:
+            if not isinstance(c, _Node) or c.tag in _XLSX_INERT or c.tag == "sheetdata":
+                continue
+            if c.tag == "c":
+                parts: list[str] = []
+                _xlsx_gather(c, parts, it)
+                row.append(collapse("".join(parts)))
+            else:  # nested rows flatten into this row
+                collect_cells(c, row, it or c.tag in _XLSX_TEXT_TAGS)
+
+    def walk(n: _Node, it: bool) -> None:
+        for c in n.children:
+            if not isinstance(c, _Node) or c.tag in _XLSX_INERT or c.tag == "sheetdata":
+                continue
+            if c.tag == "row":
+                row: list[str] = []
+                collect_cells(c, row, it)
+                rows.append(row)
+            else:
+                walk(c, it or c.tag in _XLSX_TEXT_TAGS)
+
+    walk(sd, in_t)
+    return rows
+
+
+def extract_xlsx(payload: str, cfg: PipelineConfig) -> list[tuple[str, str, str]]:
+    """xlsx_xml worksheet fragment → [(kind, text, media_ref)] per spec
+    x1-x5."""
+    builder = _TreeBuilder()
+    builder.feed(payload)
+    builder.close()
+    out: list[tuple[str, str, str]] = []
+
+    def walk(node: _Node, in_t: bool) -> None:
+        for c in node.children:
+            if not isinstance(c, _Node):
+                continue
+            if c.tag in _XLSX_INERT:
+                out.append(("picture", "", _ooxml_ref(c)))
+            elif c.tag == "sheetdata":
+                fmt = format_table(_xlsx_rows(c, in_t), cfg.enable_table_extraction)
+                if fmt:
+                    out.append((fmt[0], fmt[1], ""))
+            else:
+                walk(c, in_t or c.tag in _XLSX_TEXT_TAGS)
+
+    walk(builder.root, False)
+    return out
+
+
 # Oracle mirror of the engine's format registry: kind → fn(payload, cfg)
 # yielding (kind, text, media_ref) triples.
 EXTRA_FORMATS: dict = {
     "docx_xml": extract_docx,
     "pptx_xml": extract_pptx,
+    "xlsx_xml": extract_xlsx,
 }
 
 

@@ -62,7 +62,9 @@ def ooxml_corpus_for(sf_dir: str, factor: int = 1) -> str:
 
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     n_docs = n * factor
-    path = f"/tmp/docling_ray_corpus/ooxml_n{n_docs}_s{SEED}"
+    # "ooxml2": cache key versioned with the corpus generator (xlsx_xml
+    # joined the mix in r04 — old cached corpora must not be reused)
+    path = f"/tmp/docling_ray_corpus/ooxml2_n{n_docs}_s{SEED}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from ..schema import DOCUMENTS_SCHEMA
@@ -83,6 +85,47 @@ def ooxml_corpus_for(sf_dir: str, factor: int = 1) -> str:
         with open(marker, "w") as fh:
             fh.write("ok")
     return path
+
+
+def xlsx_corpus_for(sf_dir: str, factor: int = 1) -> str:
+    """Deterministic spreadsheet-heavy corpus (xlsx_xml registered
+    format), sized from the documents table."""
+    import pyarrow.compute as pc
+
+    n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    n_docs = n * factor
+    path = f"/tmp/docling_ray_corpus/xlsx_n{n_docs}_s{SEED}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from ..schema import DOCUMENTS_SCHEMA
+
+        os.makedirs(path, exist_ok=True)
+        per = 2000
+        for f in range(0, n_docs, per):
+            count = min(per, n_docs - f)
+            rows = [synth.make_xlsx_doc(SEED, i) for i in range(f, f + count)]
+            tbl = pa.Table.from_pylist(rows, schema=DOCUMENTS_SCHEMA)
+            tbl = tbl.append_column(
+                "n_spans", pc.cast(pc.list_value_length(tbl["spans"]), pa.int32())
+            ).sort_by("n_spans")
+            pq.write_table(
+                tbl, os.path.join(path, f"part-{f // per:05d}.parquet"),
+                row_group_size=200,
+            )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def q_extract_xlsx(sf_dir: str):
+    """xlsx_xml registered format (SpreadsheetML worksheets → table spans;
+    completes the OOXML family, spec x1-x5): spreadsheet corpus → full
+    extraction → flat results. Rows-only driver check; span parity vs the
+    oracle is pytest-gated (tests/test_ooxml.py xlsx fuzz + corpus
+    agreement)."""
+    path = xlsx_corpus_for(sf_dir)
+    ds = build_extraction(path, PipelineConfig())
+    return ds.map_batches(flatten, batch_format="pyarrow")
 
 
 def q_extract_ooxml(sf_dir: str):
@@ -208,6 +251,7 @@ def q_media_frame_sample(sf_dir: str):
 QUERIES = {
     "q_extract_documents": q_extract_documents,
     "q_extract_ooxml": q_extract_ooxml,
+    "q_extract_xlsx": q_extract_xlsx,
     "q_extract_kind_stats": q_extract_kind_stats,
     "q_extract_credits": q_extract_credits,
     "q_extract_usage_summary": q_extract_usage_summary,

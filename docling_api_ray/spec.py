@@ -103,6 +103,30 @@ pptx_xml (`kind="pptx_xml"`, shipped registered format like docx_xml;
   appears earlier in document order within the paragraph's nearest
   enclosing `<p:sp>` shape; paragraphs outside any shape are text.
 
+xlsx_xml (`kind="xlsx_xml"`, shipped registered format completing the
+  OOXML family; the reference's Docling converter accepts spreadsheet
+  input through the same multi-format surface, `api/main.py:79`): payload
+  is a SpreadsheetML worksheet fragment (content of
+  xl/worksheets/sheetN.xml). Tag/attribute names matched
+  case-insensitively. Rules:
+  x1. Only `<v>` (cell value) and `<t>` (inline/shared string text)
+      descendants carry text; bare text between other tags is IGNORED.
+      Texts within one cell concatenate in document order with NO
+      implicit separator; entities decoded; cell text collapse()d.
+  x2. `<sheetData>` outside any other sheetData → one table span on
+      close via `format_table`: rows = `<row>` elements whose nearest
+      enclosing sheetData is this one; cells = `<c>` elements within the
+      row (nested `<row>`/`<c>` flatten like docx d4); a sheetData nested
+      inside an open cell flattens its text into that cell; rows, cells
+      and text OUTSIDE any sheetData emit nothing.
+  x3. `<drawing>` / `<picture>` subtrees are INERT. An outermost one
+      outside any sheetData emits one picture span in document order
+      (media_ref = first `r:embed` else first `r:id` in the subtree,
+      else ""); inside sheetData it emits nothing.
+  x4. No heading spans: worksheets have no title structure; every
+      non-picture output is the table (or its text demotion).
+  x5. Unclosed structures at end of payload close implicitly (d5).
+
 Errors-as-data (`docling_client.py:362-380`): unknown span kind, payload
 over `max_doc_bytes`, or page count over `max_pages` → the whole document
 becomes (spans=[], pages=0, status="error", error=<message>); never an

@@ -376,6 +376,36 @@ class StreamDocxExtractor(_OoxmlScanner):
             self.para_pics.append(self._ref())
 
 
+class StreamXlsxExtractor(_OoxmlScanner):
+    """xlsx_xml per spec x1-x5: the sheetData grid IS the table (reusing
+    the scanner's table machinery with sheetData/row/c as the
+    vocabulary); no paragraphs, no headings. Cell text comes from BOTH
+    `<v>` (TEXT_TAG) and `<t>` (A_SUB hook) descendants."""
+
+    TEXT_TAG = "v"
+    BREAK_TAGS = frozenset()
+    PARA_TAG = ""  # worksheets have no paragraph structure
+    TBL_TAG = "sheetdata"
+    ROW_TAG = "row"
+    CELL_TAG = "c"
+    INERT_TAGS = frozenset({"drawing", "picture"})
+
+    def on_start(self, tag: str, attrstr: str, selfclose: bool) -> int:
+        if tag == "t" and not selfclose:
+            self.wt_depth += 1
+            return A_SUB
+        return A_NONE
+
+    def on_sub_close(self, tag: str) -> None:
+        if tag == "t":
+            self.wt_depth -= 1
+
+    def on_inert_close(self) -> None:
+        # drawings outside the grid emit in document order (spec x3)
+        if self.tbl_depth == 0:
+            self.out.append(("picture", "", self._ref()))
+
+
 class StreamPptxExtractor(_OoxmlScanner):
     """pptx_xml per the spec's pptx_xml section."""
 
@@ -437,11 +467,19 @@ def _pptx_handler(extractor, text: str, media_ref: str):
     return ex.extract(text or "", deadline=extractor.html.deadline)
 
 
+def _xlsx_handler(extractor, text: str, media_ref: str):
+    ex = getattr(extractor, "_xlsx", None)
+    if ex is None or ex.tables != extractor.cfg.enable_table_extraction:
+        ex = extractor._xlsx = StreamXlsxExtractor(extractor.cfg.enable_table_extraction)
+    return ex.extract(text or "", deadline=extractor.html.deadline)
+
+
 def register_shipped_formats() -> None:
     from .extract import register_format
 
     register_format("docx_xml", _docx_handler)
     register_format("pptx_xml", _pptx_handler)
+    register_format("xlsx_xml", _xlsx_handler)
 
 
 register_shipped_formats()

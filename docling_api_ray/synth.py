@@ -202,6 +202,66 @@ def _pptx_fragment(rng: random.Random, marker: str | None) -> str:
     return "".join(parts)
 
 
+def _xlsx_fragment(rng: random.Random, marker: str | None) -> str:
+    """SpreadsheetML worksheet fragment: inline strings, numeric values,
+    entities, occasional drawings (spec x1-x5)."""
+    ncol = rng.randint(2, 5)
+    rows = [
+        "<row r=\"1\">"
+        + "".join(
+            f'<c t="inlineStr"><is><t>{rng.choice(WORDS)}</t></is></c>'
+            for _ in range(ncol)
+        )
+        + "</row>"
+    ]
+    for r in range(rng.randint(2, 6)):
+        cells = []
+        for _ in range(ncol):
+            if rng.random() < 0.4:
+                cells.append(f"<c><v>{rng.randint(0, 9999)}</v></c>")
+            elif rng.random() < 0.1:
+                cells.append(f'<c t="inlineStr"><is><t>Q&amp;A {r}</t></is></c>')
+            else:
+                cells.append(
+                    f'<c t="inlineStr"><is><t>{rng.choice(WORDS)} {r}</t></is></c>'
+                )
+        rows.append(f"<row>{''.join(cells)}</row>")
+    if marker:
+        rows.append(f'<row><c t="inlineStr"><is><t>{marker}</t></is></c></row>')
+    parts = [f"<sheetData>{''.join(rows)}</sheetData>"]
+    if rng.random() < 0.2:
+        parts.append(f'<drawing r:id="rId{rng.randint(1, 99)}"/>')
+    return "<worksheet>" + "".join(parts) + "</worksheet>"
+
+
+def make_xlsx_doc(seed: int, index: int) -> dict:
+    """Spreadsheet-heavy document for the xlsx_xml registered format.
+    Pure function of (seed, index), like make_doc."""
+    rng = random.Random(f"xlsx:{seed}:{index}")
+    doc_id = f"sdoc-{index:08d}"
+    marker: str | None = marker_for(doc_id)
+    spans = []
+    for off in range(rng.randint(1, 8)):
+        r = rng.random()
+        if r < 0.75:
+            spans.append(("xlsx_xml", _xlsx_fragment(rng, marker), ""))
+            marker = None
+        elif r < 0.90:
+            spans.append(("html", _html_fragment(rng, marker), ""))
+            marker = None
+        elif r < 0.95:
+            spans.append(("image", "", f"img-{doc_id}-{off}"))
+        else:
+            spans.append(("page_break", "", ""))
+    return {
+        "doc_id": doc_id,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": np.int32(i)}
+            for i, (k, t, m) in enumerate(spans)
+        ],
+    }
+
+
 def make_ooxml_doc(seed: int, index: int) -> dict:
     """OOXML-heavy mixed document — exercises the registered docx_xml /
     pptx_xml formats alongside the built-in kinds. Pure function of
@@ -213,11 +273,14 @@ def make_ooxml_doc(seed: int, index: int) -> dict:
     spans = []
     for off in range(n_spans):
         r = rng.random()
-        if r < 0.40:
+        if r < 0.35:
             spans.append(("docx_xml", _docx_fragment(rng, marker), ""))
             marker = None
-        elif r < 0.65:
+        elif r < 0.55:
             spans.append(("pptx_xml", _pptx_fragment(rng, marker), ""))
+            marker = None
+        elif r < 0.70:
+            spans.append(("xlsx_xml", _xlsx_fragment(rng, marker), ""))
             marker = None
         elif r < 0.80:
             spans.append(("html", _html_fragment(rng, marker), ""))

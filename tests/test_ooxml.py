@@ -80,11 +80,12 @@ def test_pptx_title_placeholder_scoping():
 
 
 def test_ooxml_unknown_kind_still_errors():
+    # odt_xml is NOT registered (xlsx_xml joined the family in r04)
     ext = DocumentExtractor(CFG)
-    row = ext.extract_one("d", ["xlsx_xml"], ["<x/>"], [""])
-    assert row["status"] == "error" and "xlsx_xml" in row["error"]
+    row = ext.extract_one("d", ["odt_xml"], ["<x/>"], [""])
+    assert row["status"] == "error" and "odt_xml" in row["error"]
     row_o = oracle.extract_document(
-        "d", [{"kind": "xlsx_xml", "text": "<x/>", "media_ref": "", "offset": 0}], CFG
+        "d", [{"kind": "odt_xml", "text": "<x/>", "media_ref": "", "offset": 0}], CFG
     )
     assert row_o["status"] == "error"
 
@@ -212,3 +213,111 @@ def test_fuzz_docx_tables_disabled_agreement():
         a = oracle.extract_docx(xml, cfg_off)
         b = fast.extract(xml)
         assert a == b, f"seed {i}: {xml!r}\noracle={a}\nengine={b}"
+
+
+# ---------------------------------------------------------------------------
+# xlsx_xml (spec x1-x5)
+
+XLSX_TAGS = [
+    "sheetData", "row", "c", "v", "is", "t", "worksheet",
+    "drawing", "picture", "f", "mergeCells",
+]
+
+
+def test_xlsx_directed_cases():
+    from docling_api_ray.stages.ooxml_extract import StreamXlsxExtractor
+
+    eng = StreamXlsxExtractor(True)
+    xml = (
+        '<worksheet><drawing r:id="rIdA"/><sheetData>'
+        '<row><c t="inlineStr"><is><t>name</t></is></c><c><v>12</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    exp = [("picture", "", "rIdA"), ("table", "| name | 12 |\n| --- | --- |", "")]
+    assert oracle.extract_xlsx(xml, CFG) == exp
+    assert eng.extract(xml) == exp
+    # drawings inside the grid swallowed; rows outside the grid ignored
+    assert oracle.extract_xlsx(
+        '<sheetData><row><c><v>x</v></c><drawing r:id="in"/></row></sheetData>'
+        '<row><c><v>out</v></c></row>', CFG
+    ) == [("table", "| x |\n| --- |", "")]
+    # tables disabled demote to text
+    cfg_off = PipelineConfig(enable_table_extraction=False)
+    out = oracle.extract_xlsx(
+        "<sheetData><row><c><v>a</v></c><c><v>b</v></c></row></sheetData>", cfg_off
+    )
+    assert out == [("text", "a b", "")]
+    assert StreamXlsxExtractor(False).extract(
+        "<sheetData><row><c><v>a</v></c><c><v>b</v></c></row></sheetData>"
+    ) == out
+
+
+def test_skew_validate_accepts_xlsx_kind():
+    from docling_api_ray.stages.skew import validate_doc
+
+    pages, err = validate_doc(
+        [{"kind": "xlsx_xml", "text": "<sheetData/>", "media_ref": "", "offset": 0}],
+        CFG,
+    )
+    assert (pages, err) == (1, "")
+
+
+def test_fuzz_xlsx_agreement():
+    from docling_api_ray.stages.ooxml_extract import StreamXlsxExtractor
+
+    fast = StreamXlsxExtractor(True)
+    for i in range(600):
+        rng = random.Random(31000 + i)
+        xml = "".join(
+            gen_ooxml(rng, 4, XLSX_TAGS, False) for _ in range(rng.randint(1, 4))
+        )
+        a = oracle.extract_xlsx(xml, CFG)
+        b = fast.extract(xml)
+        assert a == b, f"seed {i}: {xml!r}\noracle={a}\nengine={b}"
+
+
+def test_fuzz_xlsx_tables_disabled_agreement():
+    from docling_api_ray.stages.ooxml_extract import StreamXlsxExtractor
+
+    fast = StreamXlsxExtractor(False)
+    cfg_off = PipelineConfig(enable_table_extraction=False)
+    for i in range(200):
+        rng = random.Random(37000 + i)
+        xml = "".join(
+            gen_ooxml(rng, 4, XLSX_TAGS, False) for _ in range(rng.randint(1, 4))
+        )
+        a = oracle.extract_xlsx(xml, cfg_off)
+        b = fast.extract(xml)
+        assert a == b, f"seed {i}: {xml!r}\noracle={a}\nengine={b}"
+
+
+def test_xlsx_corpus_engine_matches_oracle():
+    """Full-document parity over the spreadsheet synth corpus (the
+    q_extract_xlsx input)."""
+    from docling_api_ray import synth
+
+    def norm(row):
+        return (
+            [(s["kind"], s["text"], s["media_ref"], int(s["offset"])) for s in row["spans"]],
+            int(row["pages"]),
+            row["status"],
+            row["error"],
+        )
+
+    ext = DocumentExtractor(CFG)
+    kinds = set()
+    n_tables = 0
+    for i in range(300):
+        doc = synth.make_xlsx_doc(7, i)
+        kinds.update(s["kind"] for s in doc["spans"])
+        spans = sorted(enumerate(doc["spans"]), key=lambda t: (t[1]["offset"], t[0]))
+        eng = ext.extract_one(
+            doc["doc_id"],
+            [s["kind"] for _, s in spans],
+            [s["text"] for _, s in spans],
+            [s["media_ref"] for _, s in spans],
+        )
+        orc = oracle.extract_document(doc["doc_id"], doc["spans"], CFG)
+        assert norm(eng) == norm(orc), doc["doc_id"]
+        n_tables += sum(1 for s in orc["spans"] if s["kind"] == "table")
+    assert "xlsx_xml" in kinds and n_tables > 100

@@ -45,9 +45,7 @@ def test_priority_names_are_registered():
     # (Names for not-yet-implemented queries are allowed only if flagged.)
     queries = registry.all_queries()
     unknown = [k for k in registry._PRIORITY if k not in queries]
-    # q_extract_xlsx is pre-slotted for the r04 xlsx_xml format; tighten
-    # this to the empty set once it lands.
-    allowed_pending: set[str] = {"q_extract_xlsx"}
+    allowed_pending: set[str] = set()
     assert set(unknown) <= allowed_pending, f"unknown _PRIORITY names: {unknown}"
 
 
