@@ -145,4 +145,10 @@ def all_oracles() -> dict:
     full = {}
     for mod in _MODULES:
         full.update(mod.ORACLE)
+        # oracle SQL that must be generated at call time (e.g. extraction
+        # admission/billing oracles embed the deterministic corpus path
+        # and materialize the corpus first)
+        dyn = getattr(mod, "dynamic_oracles", None)
+        if dyn is not None:
+            full.update(dyn())
     return _ordered(full)
