@@ -472,7 +472,88 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE (interval) join: purchases attributed to 30-minute incident
+# windows opened by error events — ts ∈ [start, end) with NO equi key, the
+# non-equi join Ray Data lacks. Rides join.bucketed_range_join_agg:
+# time-bucketed co-partitioning (intervals replicate into each bucket they
+# overlap, facts tagged once), ONE groupby(bucket) shuffle, in-bucket
+# prefix-sum + two searchsorted probes per interval (pairs never
+# materialize), then an interval-grained partial merge (≤ 2 rows/window).
+
+RANGE_WIN_US = 30 * 60 * 1_000_000  # incident window length
+RANGE_BUCKET_US = 60 * 60 * 1_000_000  # time-slice width (≥ window → ≤2 buckets)
+
+
+def q_events_range_join(sf_dir: str):
+    import numpy as np
+
+    from .join import bucketed_range_join_agg
+
+    ds = read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        start = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "window_id": t["event_id"],
+                "w_start": start,
+                "w_end": pc.add(start, pa.scalar(RANGE_WIN_US, pa.int64())),
+            }
+        )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"ts": pc.cast(t["ts"], pa.int64()), "value": t["value"]})
+
+    partials = bucketed_range_join_agg(
+        ds.map_batches(purchases, batch_format="pyarrow"),
+        "ts",
+        "value",
+        ds.map_batches(windows, batch_format="pyarrow"),
+        "window_id",
+        "w_start",
+        "w_end",
+        bucket_us=RANGE_BUCKET_US,
+    )
+    merged = partials.groupby("iid").aggregate(
+        Sum("n", alias_name="n_purchases"), Sum("val_sum", alias_name="tv")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_purchases"], 0))  # inner-join semantics
+        return pa.table(
+            {
+                "window_id": t["iid"],
+                "n_purchases": t["n_purchases"],
+                "total_value": pa.array(
+                    np.round(t["tv"].to_numpy(zero_copy_only=False), 2),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+RANGE_JOIN_SQL = """
+WITH win AS (
+  SELECT event_id AS window_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT w.window_id,
+       count(*) AS n_purchases,
+       round(sum(p.value), 2) AS total_value
+FROM win w JOIN p ON p.ts >= w.s AND p.ts < w.e
+GROUP BY w.window_id
+"""
+
+
 QUERIES = {
+    "q_events_range_join": q_events_range_join,
     "q_events_asof": q_events_asof,
     "q_events_funnel": q_events_funnel,
     "q_events_json_extract": q_events_json_extract,
@@ -487,6 +568,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_events_range_join": RANGE_JOIN_SQL,
     "q_events_asof": ASOF_SQL,
     "q_events_json_extract": JSON_EXTRACT_SQL,
     "q_events_scrub": SCRUB_SQL,

@@ -691,3 +691,113 @@ def auto_semi_anti(
         ),
         "bucketed",
     )
+
+
+def bucketed_range_join_agg(
+    fact_ds: rd.Dataset,
+    ts_col: str,
+    val_col: str,
+    intervals_ds: rd.Dataset,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_us: int,
+) -> rd.Dataset:
+    """Distributed RANGE (interval) join + per-interval aggregate: match
+    every fact row whose `ts_col` falls in [start, end) of an interval,
+    returning (interval id, n matches, sum of `val_col`) partials — the
+    non-equi join Ray Data lacks, as a composition.
+
+    Partitioning: both sides hash into TIME buckets of width `bucket_us`
+    (facts once; an interval replicates into every bucket it overlaps, so
+    replication is bounded by interval_length/bucket_us + 1 — pick the
+    width of the same order as typical interval length). ONE
+    groupby(bucket) shuffle co-locates each time slice.
+
+    In-bucket resolution never materializes pairs: facts sort by ts, the
+    value column prefix-sums, and every interval reduces to two
+    searchsorted probes — count = hi-lo, sum = cum[hi]-cum[lo]. A
+    bucket-spanning interval emits one PARTIAL row per bucket; callers
+    merge with a final interval-grained groupby (tiny: ≤ spans-per-
+    interval rows each) and apply join semantics (inner: drop n=0).
+
+    All timestamps are int64 epoch microseconds.
+    """
+
+    def tag_facts(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64())
+        return pa.table(
+            {
+                "__bucket": pc.cast(
+                    pc.divide(ts, pa.scalar(bucket_us, pa.int64())), pa.int64()
+                ),
+                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "ts": ts,
+                "val": pc.cast(t[val_col], pa.float64()),
+                "iid": pa.nulls(len(t), pa.int64()),
+                "lo": pa.nulls(len(t), pa.int64()),
+                "hi": pa.nulls(len(t), pa.int64()),
+            }
+        )
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        lo = pc.cast(t[start_col], pa.int64()).to_numpy(zero_copy_only=False)
+        hi = pc.cast(t[end_col], pa.int64()).to_numpy(zero_copy_only=False)
+        iid = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        nonempty = hi > lo  # empty/inverted intervals match nothing
+        lo, hi, iid = lo[nonempty], hi[nonempty], iid[nonempty]
+        b0 = lo // bucket_us
+        b1 = (hi - 1) // bucket_us  # end is exclusive
+        reps = (b1 - b0 + 1).astype(np.int64)
+        bucket = np.repeat(b0, reps) + (
+            np.arange(int(reps.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        )
+        n = len(bucket)
+        return pa.table(
+            {
+                "__bucket": pa.array(bucket, pa.int64()),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+                "ts": pa.nulls(n, pa.int64()),
+                "val": pa.nulls(n, pa.float64()),
+                "iid": pa.array(np.repeat(iid, reps), pa.int64()),
+                "lo": pa.array(np.repeat(lo, reps), pa.int64()),
+                "hi": pa.array(np.repeat(hi, reps), pa.int64()),
+            }
+        )
+
+    both = fact_ds.map_batches(tag_facts, batch_format="pyarrow").union(
+        intervals_ds.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        bucket = int(g["__bucket"][0].as_py())
+        blo, bhi = bucket * bucket_us, (bucket + 1) * bucket_us
+        f = side == 0
+        ts = g["ts"].to_numpy(zero_copy_only=False)[f].astype(np.int64)
+        val = g["val"].to_numpy(zero_copy_only=False)[f]
+        order = np.argsort(ts, kind="stable")
+        ts, val = ts[order], val[order]
+        cum = np.concatenate(([0.0], np.cumsum(val)))
+        iv = ~f
+        iid = g["iid"].to_numpy(zero_copy_only=False)[iv].astype(np.int64)
+        # clamp each interval to this bucket's slice so a spanning
+        # interval counts each fact exactly once across buckets
+        lo = np.maximum(
+            g["lo"].to_numpy(zero_copy_only=False)[iv].astype(np.int64), blo
+        )
+        hi = np.minimum(
+            g["hi"].to_numpy(zero_copy_only=False)[iv].astype(np.int64), bhi
+        )
+        a = np.searchsorted(ts, lo, side="left")
+        b = np.searchsorted(ts, hi, side="left")
+        return pa.table(
+            {
+                "iid": pa.array(iid, pa.int64()),
+                "n": pa.array((b - a).astype(np.int64), pa.int64()),
+                "val_sum": pa.array(cum[b] - cum[a], pa.float64()),
+            }
+        )
+
+    return both.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")

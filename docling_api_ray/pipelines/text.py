@@ -1304,6 +1304,15 @@ HH_PHI = 0.01  # support threshold: term share of total token stream
 HH_K = 256  # counters kept per batch sketch; needs K+1 > 1/PHI
 
 
+
+def _pc_filter(ds, pred):
+    """Vectorized dataset filter: pred(table) -> boolean mask (pyarrow
+    kernels), applied per batch — row-lambda Dataset.filter compiles to a
+    per-row Python call; this is free by comparison."""
+    return ds.map_batches(
+        lambda t: t.filter(pred(t)), batch_format="pyarrow"
+    )
+
 def _mg_compress(terms: np.ndarray, counts: np.ndarray, k: int):
     """Misra-Gries reduction of an exact (term, count) histogram to ≤k
     counters: subtract the (k+1)-th largest count from all, keep
@@ -1341,12 +1350,15 @@ def q_word_heavy_hitters(sf_dir: str):
         .aggregate(Sum("w", alias_name="w"))
         .materialize()  # bounded: ≤ HH_K × n_batches rows, NOT vocabulary
     )
-    n_total = merged.filter(lambda r: r["term"] == "").take_all()[0]["w"]
+    n_total = _pc_filter(merged, lambda t: pc.equal(t["term"], "")).take_all()[0]["w"]
     floor = (HH_PHI - 1.0 / (HH_K + 1)) * n_total
     cand = {
         r["term"]
-        for r in merged.filter(
-            lambda r: r["term"] != "" and r["w"] >= floor
+        for r in _pc_filter(
+            merged,
+            lambda t: pc.and_(
+                pc.not_equal(t["term"], ""), pc.greater_equal(t["w"], floor)
+            ),
         ).take_all()  # output-bounded: ≤ 1/(PHI − 1/(K+1)) terms
     }
 
@@ -1364,7 +1376,7 @@ def q_word_heavy_hitters(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
     )
     thresh = HH_PHI * n_total
-    return out.filter(lambda r: r["n"] >= thresh).sort(
+    return _pc_filter(out, lambda t: pc.greater_equal(t["n"], thresh)).sort(
         ["n", "term"], descending=[True, False]
     )
 
@@ -1825,16 +1837,24 @@ def q_lang_heavy_hitters(sf_dir: str):
     )
     totals = {
         r["lang"]: r["w"]
-        for r in merged.filter(lambda r: r["term"] == "").take_all()
+        for r in _pc_filter(merged, lambda t: pc.equal(t["term"], "")).take_all()
     }  # group-grained
     floors = {
         lang: (HH_G_PHI - 1.0 / (HH_K + 1)) * n for lang, n in totals.items()
     }
+    def _floor_mask(t: pa.Table) -> pa.Array:
+        fl = np.array(
+            [floors[la] for la in t["lang"].to_pylist()], dtype=np.float64
+        )  # sketch-bounded rows; langs are a handful
+        return pc.and_(
+            pc.not_equal(t["term"], ""),
+            pa.array(t["w"].to_numpy(zero_copy_only=False) >= fl),
+        )
+
     cand = {
         (r["lang"], r["term"])
-        for r in merged.filter(
-            lambda r: r["term"] != "" and r["w"] >= floors[r["lang"]]
-        ).take_all()  # ≤ langs / (PHI − 1/(K+1)) pairs — output-bounded
+        for r in _pc_filter(merged, _floor_mask).take_all()
+        # ≤ langs / (PHI − 1/(K+1)) pairs — output-bounded
     }
 
     cand_by_lang: dict[str, pa.Array] = {}
@@ -1883,7 +1903,14 @@ def q_lang_heavy_hitters(sf_dir: str):
         .groupby(["lang", "term"])
         .aggregate(Sum("n", alias_name="n"))
     )
-    return out.filter(lambda r: r["n"] >= HH_G_PHI * totals[r["lang"]]).sort(
+    def _tot_mask(t: pa.Table) -> pa.Array:
+        th = np.array(
+            [HH_G_PHI * totals[la] for la in t["lang"].to_pylist()],
+            dtype=np.float64,
+        )
+        return pa.array(t["n"].to_numpy(zero_copy_only=False) >= th)
+
+    return _pc_filter(out, _tot_mask).sort(
         ["lang", "n", "term"], descending=[False, True, False]
     )
 
@@ -2182,7 +2209,9 @@ def cc_min_label(pairs: "rd.Dataset", n_buckets: int, max_rounds: int = 6):
             new.union(labels)
             .groupby(["node", "lbl"])
             .aggregate(Count(alias_name="c"))
-            .filter(lambda r: r["c"] == 1)
+            .map_batches(
+                lambda t: t.filter(pc.equal(t["c"], 1)), batch_format="pyarrow"
+            )
             .count()
         )
         labels = new

@@ -62,6 +62,7 @@ _PRIORITY = (
     "q_full_outer_status",   # string-key joins: hash_bucket_col vectorized
     # --- new in r04
     "q_extract_xlsx",        # xlsx_xml format (OOXML family complete)
+    "q_events_range_join",   # non-equi interval join (time-bucketed)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",

@@ -345,3 +345,32 @@ def test_hash_bucket_col_distribution():
     counts = np.bincount(b, minlength=256)
     ideal = 100_000 / 256
     assert counts.min() > ideal * 0.6 and counts.max() < ideal * 1.5
+
+
+def test_range_join_agg_spanning_intervals_count_once():
+    """Intervals spanning many time buckets must count each fact exactly
+    once (per-bucket clamping), including boundary timestamps:
+    ts == start matches, ts == end does not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_api_ray.pipelines.join import bucketed_range_join_agg
+
+    facts = pa.table({"ts": pa.array([0, 5, 10, 15, 20, 25], pa.int64()),
+                      "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0])})
+    # widths span 1-6 buckets at bucket_us=5
+    ivs = pa.table({
+        "iid": pa.array([1, 2, 3, 4], pa.int64()),
+        "s": pa.array([0, 5, 26, 10], pa.int64()),
+        "e": pa.array([26, 10, 30, 10], pa.int64()),  # iid=4 is empty
+    })
+    out = bucketed_range_join_agg(
+        rd.from_arrow(facts), "ts", "v", rd.from_arrow(ivs), "iid", "s", "e",
+        bucket_us=5,
+    ).to_pandas()
+    merged = out.groupby("iid").agg(n=("n", "sum"), s=("val_sum", "sum"))
+    assert merged.loc[1, "n"] == 6 and merged.loc[1, "s"] == 63.0  # [0,26): all
+    assert merged.loc[2, "n"] == 1 and merged.loc[2, "s"] == 2.0   # [5,10): ts=5
+    assert merged.loc[3, "n"] == 0                                  # [26,30): none
+    assert 4 not in merged.index or merged.loc[4, "n"] == 0         # empty interval
