@@ -95,6 +95,69 @@ GROUP BY ROLLUP(o_orderpriority, strftime(o_orderdate, '%Y'))
 """
 
 
+def q_orders_cube(sf_dir: str):
+    """CUBE (all grouping sets): ONE fact-table pass builds the finest
+    (priority, year) aggregate; every super-aggregate — priority-only,
+    year-only, grand total — re-aggregates those output-sized rows in a
+    single small block. The 100 TB shape: grouping-set count multiplies
+    work on the AGGREGATE, never on the fact stream."""
+    ds = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "priority": t["o_orderpriority"],
+                "year": pc.strftime(t["o_orderdate"], format="%Y"),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    finest = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["priority", "year"])
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+    )
+
+    def cube(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        by_p = (
+            df.groupby("priority", as_index=False)[["n_orders", "total"]]
+            .sum()
+            .assign(year="ALL")
+        )
+        by_y = (
+            df.groupby("year", as_index=False)[["n_orders", "total"]]
+            .sum()
+            .assign(priority="ALL")
+        )
+        grand = pd.DataFrame(
+            {
+                "priority": ["ALL"],
+                "year": ["ALL"],
+                "n_orders": [df["n_orders"].sum()],
+                "total": [df["total"].sum()],
+            }
+        )
+        out = pd.concat([df, by_p, by_y, grand], ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        tbl = pa.Table.from_pandas(
+            out[["priority", "year", "n_orders", "total"]], preserve_index=False
+        )
+        return round_col(tbl, "total", 2)
+
+    return finest.repartition(1).map_batches(cube, batch_format="pyarrow")
+
+
+CUBE_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(strftime(o_orderdate, '%Y'), 'ALL') AS year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE(o_orderpriority, strftime(o_orderdate, '%Y'))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact distributed quantiles via value histogram (quantile_disc semantics:
 # 1-based index ceil(q*n) of the sorted multiset)
@@ -682,6 +745,7 @@ FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount, l_tax
 
 QUERIES = {
     "q_orders_rollup": q_orders_rollup,
+    "q_orders_cube": q_orders_cube,
     "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_cust_dense_rank": q_cust_dense_rank,
     "q_orders_priority_mode": q_orders_priority_mode,
@@ -699,6 +763,7 @@ QUERIES = {
 
 ORACLE = {
     "q_orders_rollup": ROLLUP_SQL,
+    "q_orders_cube": CUBE_SQL,
     "q_lineitem_unpivot": UNPIVOT_SQL,
     "q_cust_dense_rank": DENSE_RANK_SQL,
     "q_orders_priority_mode": PRIORITY_MODE_SQL,

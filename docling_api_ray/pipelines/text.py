@@ -2359,3 +2359,64 @@ QUALIFY row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) = 1
 
 QUERIES["q_doc_curation"] = q_doc_curation
 ORACLE["q_doc_curation"] = _curation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Robust aggregate: per-group TRIMMED MEAN (drop the 5% lowest and highest
+# values by rank before averaging) — the outlier-resistant statistic a
+# curation pipeline uses to summarize skewed signals (doc lengths, scores)
+# without letting a handful of giants move the mean. Rank-exact (ties
+# broken by doc_id) so the oracle hash-matches; rides key_bucketed —
+# groups sort only inside their bucket, never a global sort.
+
+TRIM_FRAC = 0.05
+
+
+def q_doc_trimmed_stats(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def trim(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n_chars", "doc_id"], kind="stable")
+        grp = g.groupby("lang", sort=False)
+        rk = grp.cumcount().to_numpy()
+        n = grp["lang"].transform("size").to_numpy()
+        k = np.floor(TRIM_FRAC * n).astype(np.int64)
+        kept = g[(rk >= k) & (rk < n - k)]
+        out = kept.groupby("lang", as_index=False).agg(
+            n_kept=("n_chars", "size"), total=("n_chars", "sum")
+        )
+        nk = out["n_kept"].to_numpy().astype(np.int64)
+        tot = out["total"].to_numpy().astype(np.int64)
+        # exact round-half-away(total/n, 4) in integer arithmetic: int
+        # sums land EXACTLY on .xxxx5 boundaries where np.round (half-even)
+        # and SQL round (half-away) disagree — e.g. 277.28125
+        tm = ((20000 * tot + nk) // (2 * nk)) / 10000.0
+        return pd.DataFrame(
+            {
+                "lang": out["lang"],
+                "n_kept": nk,
+                "trimmed_mean": tm,
+            }
+        )
+
+    return key_bucketed(ds, "lang", trim)
+
+
+TRIMMED_SQL = f"""
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_kept,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS trimmed_mean
+FROM r
+WHERE rk > CAST(floor({TRIM_FRAC} * n) AS BIGINT)
+  AND rk <= n - CAST(floor({TRIM_FRAC} * n) AS BIGINT)
+GROUP BY lang
+"""
+
+QUERIES["q_doc_trimmed_stats"] = q_doc_trimmed_stats
+ORACLE["q_doc_trimmed_stats"] = TRIMMED_SQL

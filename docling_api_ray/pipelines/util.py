@@ -63,10 +63,17 @@ def key_bucketed(
     (measured ~10 s for 15k customers at sf0.1 vs <1 s bucketed).
     At 100 TB the bucket count bounds group size via the same adaptive
     logic as the joins — pass a larger n_buckets for bigger tables."""
-    from .join import bucket_col
+    from .join import bucket_col, hash_bucket_col
 
     def add(t: pa.Table) -> pa.Table:
-        return t.append_column("__kb", bucket_col(t[key], n_buckets))
+        col = t[key]
+        typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+        bucketer = (
+            hash_bucket_col
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            else bucket_col
+        )
+        return t.append_column("__kb", bucketer(col, n_buckets))
 
     def run(g: "pd.DataFrame"):
         return fn(g.drop(columns="__kb"))

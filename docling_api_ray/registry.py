@@ -63,6 +63,8 @@ _PRIORITY = (
     # --- new in r04
     "q_extract_xlsx",        # xlsx_xml format (OOXML family complete)
     "q_events_range_join",   # non-equi interval join (time-bucketed)
+    "q_orders_cube",         # CUBE grouping sets from one fact pass
+    "q_doc_trimmed_stats",   # rank-exact trimmed mean per group
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
