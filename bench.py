@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "q_word_heavy_hitters",
     "q_doc_lm_score",
     "q_semi_join_bloom",
+    # round-4 additions
+    "q_events_range_join",
+    "q_orders_cube",
+    "q_doc_trimmed_stats",
+    "q_extract_xlsx",
 ]
 
 
