@@ -1300,3 +1300,109 @@ QUERIES["q_except_all_custkeys"] = q_except_all_custkeys
 ORACLE["q_except_all_custkeys"] = EXCEPT_ALL_SQL
 QUERIES["q_union_distinct_customers"] = _q_union_distinct_wrapped
 ORACLE["q_union_distinct_customers"] = UNION_DISTINCT_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (conditional aggregation over a fact-fact join with a
+# cross-table date predicate): late-shipped lines per return flag, counted
+# by order urgency. The join rides the strategy selector; the CASE counts
+# are mergeable partials, so `post` is correct per key-complete bucket AND
+# per broadcast batch — one tiny flag-grained groupby finalizes either way.
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+_Q12_LATE_US = 30 * 86_400 * 1_000_000  # shipped >30 days after order
+
+
+def q12_late_lines(sf_dir: str):
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_returnflag": t["l_returnflag"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "high": pc.cast(
+                    pc.is_in(
+                        t["o_orderpriority"],
+                        value_set=pa.array(_Q12_HIGH, pa.string()),
+                    ),
+                    pa.int64(),
+                ),
+                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    def post(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater(
+                t["ship_us"], pc.add(t["order_us"], pa.scalar(_Q12_LATE_US, pa.int64()))
+            )
+        )
+        g = t.group_by("l_returnflag").aggregate([("high", "sum"), ("high", "count")])
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "high_part": pc.cast(g["high_sum"], pa.int64()),
+                "n_part": pc.cast(g["high_count"], pa.int64()),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+    partials = auto_equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_orderkey",
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_returnflag", pa.string()), ("ship_us", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("high", pa.int64()), ("order_us", pa.int64())]
+        ),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "orders"),
+        how="inner",
+        post=post,
+    )
+    merged = partials.groupby("l_returnflag").aggregate(
+        Sum("high_part", alias_name="high_line_count"),
+        Sum("n_part", alias_name="n_lines"),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "high_line_count": pc.cast(t["high_line_count"], pa.int64()),
+                "low_line_count": pc.cast(
+                    pc.subtract(t["n_lines"], t["high_line_count"]), pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+"""
+
+QUERIES["q12_late_lines"] = q12_late_lines
+ORACLE["q12_late_lines"] = Q12_SQL

@@ -2420,3 +2420,60 @@ GROUP BY lang
 
 QUERIES["q_doc_trimmed_stats"] = q_doc_trimmed_stats
 ORACLE["q_doc_trimmed_stats"] = TRIMMED_SQL
+
+
+# ---------------------------------------------------------------------------
+# TEMPERATURE resampling (domain reweighting, the Pile / multilingual-LM
+# move): instead of flattening every language to the smallest group
+# (q_doc_mixture_resample = temperature 0), keep lang l with probability
+# (c_min/c_l)^(1-alpha) — alpha=1 keeps the natural distribution, alpha=0
+# is uniform. ALPHA = 0.5 makes the reweight a sqrt, which is correctly
+# rounded in IEEE double on BOTH engines (numpy and DuckDB), so the
+# hash-threshold accept set is bit-identical — a pow() with an arbitrary
+# exponent could differ by 1 ulp across libms and flip boundary docs.
+# Same shuffle-free streaming-filter shape as mixture resampling: one
+# output-bounded lang-count groupby, then a hash-of-key filter.
+
+
+def q_doc_temperature_resample(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    counts = {
+        r["lang"]: r["n"]
+        for r in ds.groupby("lang").aggregate(Count(alias_name="n")).take_all()
+    }
+    if not counts:
+        return ds
+    mc = min(counts.values())
+    thr = {
+        lang: (
+            None
+            if c == mc
+            else format(int(np.floor(np.sqrt(mc / c) * _MIX_DEN)), "08x")
+        )
+        for lang, c in counts.items()
+    }
+
+    def samp(t: pa.Table) -> pa.Table:
+        keep = [
+            (th := thr.get(lang)) is None
+            or hashlib.md5(str(d).encode()).hexdigest()[:8] < th
+            for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist())
+        ]
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(samp, batch_format="pyarrow")
+
+
+TEMPERATURE_SQL = """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+     m AS (SELECT min(cnt) AS mc FROM c)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE c.cnt = m.mc
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(sqrt(CAST(m.mc AS DOUBLE) / c.cnt)
+                                  * 4294967296.0) AS BIGINT))
+"""
+
+QUERIES["q_doc_temperature_resample"] = q_doc_temperature_resample
+ORACLE["q_doc_temperature_resample"] = TEMPERATURE_SQL

@@ -65,6 +65,8 @@ _PRIORITY = (
     "q_events_range_join",   # non-equi interval join (time-bucketed)
     "q_orders_cube",         # CUBE grouping sets from one fact pass
     "q_doc_trimmed_stats",   # rank-exact trimmed mean per group
+    "q12_late_lines",        # conditional agg over fact-fact join (Q12 shape)
+    "q_doc_temperature_resample",  # sqrt-temperature domain reweighting
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
