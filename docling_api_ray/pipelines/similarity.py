@@ -557,3 +557,106 @@ def q_embedding_clusters(sf_dir: str):
 
 
 QUERIES["q_embedding_clusters"] = q_embedding_clusters
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress each d-dim embedding into M uint8
+# subspace codes — the memory move that makes 100 TB-scale ANN feasible
+# (64 float64 dims -> 8 bytes/vector here; a 10^12-vector index fits in
+# object-store-resident code tables instead of raw floats). Codebooks are
+# trained once on a BOUNDED driver-side sample (deterministic seed, like
+# IVF), broadcast via ray.put, and encoding streams through map_batches.
+# Output: per-vector codes + per-batch-mergeable reconstruction-error
+# partials; pytest gates determinism and that PQ reconstruction error is
+# far below raw vector energy (else the codebooks learned nothing).
+
+PQ_M = 8          # subspaces (d must divide evenly)
+PQ_K = 32         # centroids per subspace (fits uint8 with headroom)
+PQ_TRAIN_SAMPLE = 4096
+
+
+def train_pq_codebooks(sf_dir: str, seed: int = 123) -> np.ndarray:
+    """(M, K, d/M) codebooks from a bounded sample via per-subspace
+    Lloyd iterations — driver state is sample-bounded, never corpus-sized."""
+    sample = (
+        read(sf_dir, "embeddings", columns=["embedding"])
+        .limit(PQ_TRAIN_SAMPLE)
+        .take_all()
+    )
+    mat = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    n, d = mat.shape
+    assert d % PQ_M == 0, f"dim {d} not divisible by M={PQ_M}"
+    sub = d // PQ_M
+    rng = np.random.RandomState(seed)
+    books = np.empty((PQ_M, PQ_K, sub), dtype=np.float64)
+    for m in range(PQ_M):
+        x = mat[:, m * sub : (m + 1) * sub]
+        idx = rng.choice(n, size=min(PQ_K, n), replace=False)
+        c = x[idx].copy()
+        for _ in range(8):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for k in range(len(c)):
+                members = x[a == k]
+                if len(members):
+                    c[k] = members.mean(axis=0)
+        books[m, : len(c)] = c
+        if len(c) < PQ_K:  # degenerate tiny sample: pad by repeating
+            books[m, len(c):] = c[0]
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) -> (n, M) uint8 codes, vectorized per subspace."""
+    n, d = mat.shape
+    sub = d // PQ_M
+    codes = np.empty((n, PQ_M), dtype=np.uint8)
+    for m in range(PQ_M):
+        x = mat[:, m * sub : (m + 1) * sub]
+        d2 = ((x[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_decode(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    n = len(codes)
+    sub = books.shape[2]
+    out = np.empty((n, PQ_M * sub), dtype=np.float64)
+    for m in range(PQ_M):
+        out[:, m * sub : (m + 1) * sub] = books[m][codes[:, m]]
+    return out
+
+
+def q_embedding_pq(sf_dir: str):
+    """Encode every embedding to PQ codes; emit per-vector codes plus the
+    squared reconstruction error (rows-only; quality pytest-gated)."""
+    books = train_pq_codebooks(sf_dir)
+    ref = ray.put(books)
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bk = ray.get(ref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.list_(pa.int32())),
+                    "recon_err": pa.array([], pa.float64()),
+                }
+            )
+        mat = _stack(batch["embedding"])
+        codes = pq_encode(mat, bk)
+        err = ((mat - pq_decode(codes, bk)) ** 2).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "codes": _list_array(codes.astype(np.int32), pa.int32()),
+                "recon_err": pa.array(np.round(err, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+QUERIES["q_embedding_pq"] = q_embedding_pq

@@ -67,6 +67,7 @@ _PRIORITY = (
     "q_doc_trimmed_stats",   # rank-exact trimmed mean per group
     "q12_late_lines",        # conditional agg over fact-fact join (Q12 shape)
     "q_doc_temperature_resample",  # sqrt-temperature domain reweighting
+    "q_embedding_pq",        # product-quantization codes (rows-only)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",

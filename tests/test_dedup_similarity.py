@@ -197,3 +197,43 @@ def test_compress_ratio_signal(ray_session):
     rep = len(zlib.compress(b"spam " * 400, 6)) / 2000
     noise = len(zlib.compress(bytes(range(256)) * 8, 6)) / 2048
     assert rep < 0.05 < noise
+
+
+def test_pq_compression_quality_and_determinism(ray_session):
+    import numpy as np
+
+    from docling_api_ray.pipelines.similarity import (
+        _stack,
+        pq_decode,
+        pq_encode,
+        q_embedding_pq,
+        train_pq_codebooks,
+    )
+
+    out = q_embedding_pq(SF).to_pandas()
+    assert len(out) > 0 and out["vec_id"].is_unique
+    assert all(len(c) == 8 for c in out["codes"])
+
+    # determinism: a second training run produces identical codes
+    books = train_pq_codebooks(SF)
+    books2 = train_pq_codebooks(SF)
+    assert np.array_equal(books, books2)
+
+    # reconstruction error must be far below raw vector energy
+    import pyarrow.parquet as pq
+    import os
+    mat = _stack(
+        pq.read_table(os.path.join(SF, "embeddings.parquet"), columns=["embedding"])["embedding"]
+    )
+    energy = (mat ** 2).sum(axis=1).mean()
+    codes = pq_encode(mat, books)
+    err = ((mat - pq_decode(codes, books)) ** 2).sum(axis=1).mean()
+    assert err < 0.5 * energy, f"PQ err {err:.4f} vs energy {energy:.4f}"
+
+    # asymmetric-distance (ADC) ordering should correlate with exact
+    q = mat[0]
+    exact = ((mat - q) ** 2).sum(axis=1)
+    approx = ((pq_decode(codes, books) - q) ** 2).sum(axis=1)
+    top_exact = set(np.argsort(exact)[:20])
+    top_approx = set(np.argsort(approx)[:20])
+    assert len(top_exact & top_approx) >= 8
