@@ -2477,3 +2477,58 @@ WHERE c.cnt = m.mc
 
 QUERIES["q_doc_temperature_resample"] = q_doc_temperature_resample
 ORACLE["q_doc_temperature_resample"] = TEMPERATURE_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE-style pretokenization counts: the GPT-2 pretokenizer regex (minus
+# its one lookahead clause, which RE2 lacks — deterministic and identical
+# on BOTH engines since pyarrow and DuckDB share RE2), counted per doc in
+# one vectorized pass. The token-budget estimator a training pipeline
+# runs before tokenizing 100 TB for real: contractions split, letter/
+# digit/punct runs with leading-space attachment.
+
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q_doc_bpe_tokens(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = (
+            pc.count_substring_regex(t["text"], pattern=BPE_PRETOKEN_RE)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        chars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # chars-per-token: the compression-rate signal used to spot
+        # boilerplate/garbage before paying for tokenization. Integer
+        # ratios land EXACTLY on .xxxx5 boundaries, so round half-away
+        # (SQL semantics) in integer arithmetic, not np/pc round
+        # (half-even).
+        nz = np.maximum(n, 1)
+        cpt = np.where(n > 0, ((20000 * chars + nz) // (2 * nz)) / 10000.0, 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pa.array(n, pa.int64()),
+                "chars_per_token": pa.array(cpt, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+_BPE_SQL_PAT = BPE_PRETOKEN_RE.replace("'", "''")  # SQL string-literal quoting
+
+BPE_TOKENS_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens,
+       CASE WHEN len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) > 0
+            THEN round(CAST(n_chars AS DOUBLE)
+                       / len(regexp_extract_all(text, '{_BPE_SQL_PAT}')), 4)
+            ELSE 0.0 END AS chars_per_token
+FROM documents
+"""
+
+QUERIES["q_doc_bpe_tokens"] = q_doc_bpe_tokens
+ORACLE["q_doc_bpe_tokens"] = BPE_TOKENS_SQL

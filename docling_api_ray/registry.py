@@ -68,6 +68,7 @@ _PRIORITY = (
     "q12_late_lines",        # conditional agg over fact-fact join (Q12 shape)
     "q_doc_temperature_resample",  # sqrt-temperature domain reweighting
     "q_embedding_pq",        # product-quantization codes (rows-only)
+    "q_doc_bpe_tokens",      # GPT-2-style pretokenizer counts (shared RE2)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
