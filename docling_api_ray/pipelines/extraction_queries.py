@@ -169,10 +169,14 @@ def q_extract_kind_stats(sf_dir: str):
     ds = build_extraction(path, PipelineConfig(), serialize=False)
 
     def explode(batch: pa.Table) -> pa.Table:
-        kinds = []
-        for spans in batch["spans"].to_pylist():
-            kinds.extend(s["kind"] for s in spans)
-        return pa.table({"kind": pa.array(kinds, type=pa.string())})
+        # list<struct> flatten + field projection — no Python per span
+        import pyarrow.compute as pc
+
+        col = batch["spans"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col)
+        return pa.table({"kind": flat.field("kind")})
 
     return ds.map_batches(explode, batch_format="pyarrow").groupby("kind").aggregate(
         Count(alias_name="n_spans")
