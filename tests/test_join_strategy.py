@@ -28,3 +28,30 @@ def test_q3_bucketed_path(force_bucketed):
 def test_q5_bucketed_path(force_bucketed):
     got = to_pandas(relational.q5_region_revenue(SF_DIR))
     compare("q5_bucketed", got, duck(SF_DIR, relational.Q5_SQL))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_semi_anti_modes_agree():
+    """Broadcast and bucketed strategies must produce identical rows for
+    both semi and anti joins on the same inputs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    facts = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 5, 6, 7, 8] * 10, pa.int64()),
+         "v": pa.array(list(range(80)), pa.int64())}
+    )
+    keys = pa.table({"kk": pa.array([2, 4, 6], pa.int64())})
+    for anti in (False, True):
+        results = {}
+        for label, threshold in (("broadcast", 1 << 40), ("bucketed", 0)):
+            ds, mode = join.auto_semi_anti(
+                rd.from_arrow(facts), "k", rd.from_arrow(keys), "kk",
+                n_buckets=16, keys_bytes=1024, anti=anti,
+                fact_schema=facts.schema, broadcast_threshold=threshold,
+            )
+            assert mode == label
+            results[label] = (
+                ds.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+            )
+        assert results["broadcast"].equals(results["bucketed"]), anti
