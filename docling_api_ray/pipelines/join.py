@@ -702,41 +702,49 @@ def bucketed_range_join_agg(
     start_col: str,
     end_col: str,
     bucket_us: int,
+    n_shards: int = 64,
 ) -> rd.Dataset:
     """Distributed RANGE (interval) join + per-interval aggregate: match
     every fact row whose `ts_col` falls in [start, end) of an interval,
     returning (interval id, n matches, sum of `val_col`) partials — the
     non-equi join Ray Data lacks, as a composition.
 
-    Partitioning: both sides hash into TIME buckets of width `bucket_us`
-    (facts once; an interval replicates into every bucket it overlaps, so
-    replication is bounded by interval_length/bucket_us + 1 — pick the
-    width of the same order as typical interval length). ONE
-    groupby(bucket) shuffle co-locates each time slice.
+    Partitioning: both sides bucket by TIME slices of width `bucket_us`
+    (facts once; an interval replicates into every slice it overlaps —
+    bounded by interval_length/bucket_us + 1 — and is CLAMPED to that
+    slice at tag time). Buckets then hash into `n_shards` coarse shuffle
+    groups, because one Ray group per time slice would pay the
+    ~1 ms/group floor across millions of slices (the many-tiny-groups
+    rule): a shard holds MANY slices, and correctness needs no per-slice
+    separation — a replica's clamped [lo, hi) lies inside its own slice,
+    so probing the shard's full ts-sorted fact array selects exactly that
+    slice's matches (foreign facts fall outside the clamped range).
 
-    In-bucket resolution never materializes pairs: facts sort by ts, the
-    value column prefix-sums, and every interval reduces to two
-    searchsorted probes — count = hi-lo, sum = cum[hi]-cum[lo]. A
-    bucket-spanning interval emits one PARTIAL row per bucket; callers
-    merge with a final interval-grained groupby (tiny: ≤ spans-per-
-    interval rows each) and apply join semantics (inner: drop n=0).
+    In-shard resolution never materializes pairs: facts sort by ts, the
+    value column prefix-sums, and every interval replica reduces to two
+    searchsorted probes — count = hi-lo, sum = cum[hi]-cum[lo]. Callers
+    merge the interval-grained partials with a final groupby (tiny:
+    ≤ slices-per-interval rows each) and apply join semantics (inner:
+    drop n=0). All timestamps are int64 epoch microseconds."""
+    from .util import splitmix64
 
-    All timestamps are int64 epoch microseconds.
-    """
+    mask = np.uint64(n_shards - 1)
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+
+    def shard_of(bucket: np.ndarray) -> np.ndarray:
+        return (splitmix64(bucket.astype(np.uint64)) & mask).astype(np.int32)
 
     def tag_facts(t: pa.Table) -> pa.Table:
-        ts = pc.cast(t[ts_col], pa.int64())
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "__bucket": pc.cast(
-                    pc.divide(ts, pa.scalar(bucket_us, pa.int64())), pa.int64()
-                ),
-                "__side": pa.array(np.zeros(len(t), dtype=np.int8)),
-                "ts": ts,
+                "__shard": pa.array(shard_of(ts // bucket_us), pa.int32()),
+                "__side": pa.array(np.zeros(len(ts), dtype=np.int8)),
+                "ts": pa.array(ts, pa.int64()),
                 "val": pc.cast(t[val_col], pa.float64()),
-                "iid": pa.nulls(len(t), pa.int64()),
-                "lo": pa.nulls(len(t), pa.int64()),
-                "hi": pa.nulls(len(t), pa.int64()),
+                "iid": pa.nulls(len(ts), pa.int64()),
+                "lo": pa.nulls(len(ts), pa.int64()),
+                "hi": pa.nulls(len(ts), pa.int64()),
             }
         )
 
@@ -753,16 +761,20 @@ def bucketed_range_join_agg(
             np.arange(int(reps.sum()), dtype=np.int64)
             - np.repeat(np.cumsum(reps) - reps, reps)
         )
+        # clamp each replica to its slice NOW — resolve never needs the
+        # slice id again, so slices can share shuffle groups freely
+        lo_c = np.maximum(np.repeat(lo, reps), bucket * bucket_us)
+        hi_c = np.minimum(np.repeat(hi, reps), (bucket + 1) * bucket_us)
         n = len(bucket)
         return pa.table(
             {
-                "__bucket": pa.array(bucket, pa.int64()),
+                "__shard": pa.array(shard_of(bucket), pa.int32()),
                 "__side": pa.array(np.ones(n, dtype=np.int8)),
                 "ts": pa.nulls(n, pa.int64()),
                 "val": pa.nulls(n, pa.float64()),
                 "iid": pa.array(np.repeat(iid, reps), pa.int64()),
-                "lo": pa.array(np.repeat(lo, reps), pa.int64()),
-                "hi": pa.array(np.repeat(hi, reps), pa.int64()),
+                "lo": pa.array(lo_c, pa.int64()),
+                "hi": pa.array(hi_c, pa.int64()),
             }
         )
 
@@ -772,8 +784,6 @@ def bucketed_range_join_agg(
 
     def resolve(g: pa.Table) -> pa.Table:
         side = g["__side"].to_numpy(zero_copy_only=False)
-        bucket = int(g["__bucket"][0].as_py())
-        blo, bhi = bucket * bucket_us, (bucket + 1) * bucket_us
         f = side == 0
         ts = g["ts"].to_numpy(zero_copy_only=False)[f].astype(np.int64)
         val = g["val"].to_numpy(zero_copy_only=False)[f]
@@ -782,14 +792,8 @@ def bucketed_range_join_agg(
         cum = np.concatenate(([0.0], np.cumsum(val)))
         iv = ~f
         iid = g["iid"].to_numpy(zero_copy_only=False)[iv].astype(np.int64)
-        # clamp each interval to this bucket's slice so a spanning
-        # interval counts each fact exactly once across buckets
-        lo = np.maximum(
-            g["lo"].to_numpy(zero_copy_only=False)[iv].astype(np.int64), blo
-        )
-        hi = np.minimum(
-            g["hi"].to_numpy(zero_copy_only=False)[iv].astype(np.int64), bhi
-        )
+        lo = g["lo"].to_numpy(zero_copy_only=False)[iv].astype(np.int64)
+        hi = g["hi"].to_numpy(zero_copy_only=False)[iv].astype(np.int64)
         a = np.searchsorted(ts, lo, side="left")
         b = np.searchsorted(ts, hi, side="left")
         return pa.table(
@@ -800,4 +804,4 @@ def bucketed_range_join_agg(
             }
         )
 
-    return both.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
+    return both.groupby("__shard").map_groups(resolve, batch_format="pyarrow")
