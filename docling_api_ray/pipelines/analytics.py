@@ -1047,6 +1047,75 @@ QUERIES["q_orders_global_rownum"] = q_orders_global_rownum
 ORACLE["q_orders_global_rownum"] = GLOBAL_ROWNUM_SQL
 
 
+def q_orders_percent_rank(sf_dir: str):
+    """Global percent_rank (quantile normalization: rank → [0,1]) via the
+    same sketch-cutpoint range partitioning as global row_number — the
+    transform that turns a skewed score column into a uniform one before
+    thresholding. No exact .xxxxxx5 rounding boundary exists here:
+    orders row counts make N-1 odd, so (rn-1)/(N-1) never lands on one
+    (see the rounding-parity rule in CLAUDE.md)."""
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    cuts = _range_boundaries(ds, "o_totalprice", RANGE_BUCKETS)
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, x, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+                "rb": pa.array(b, pa.int64()),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cuts, x, side="right")
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"rb": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    counts = (
+        ds.map_batches(bucket_counts, batch_format="pyarrow")
+        .groupby("rb")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("rb")
+    )
+    total = int(counts["n"].sum())
+    offsets = dict(
+        zip(
+            counts["rb"].tolist(),
+            np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1])).tolist(),
+        )
+    )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        rn = offsets[int(g["rb"].iloc[0])] + np.arange(1, len(g) + 1)
+        pr = (rn - 1) / max(total - 1, 1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "pct_rank": np.round(pr, 6),
+            }
+        )
+
+    return assigned.groupby("rb").map_groups(rank_bucket, batch_format="pandas")
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6)
+           AS pct_rank
+FROM orders
+"""
+
+QUERIES["q_orders_percent_rank"] = q_orders_percent_rank
+ORACLE["q_orders_percent_rank"] = PERCENT_RANK_SQL
+
+
 # ---------------------------------------------------------------------------
 # Table profiler: per-column count / nulls / min / max / sum in ONE
 # streaming pass — per-batch partials are a few scalars per column

@@ -69,6 +69,7 @@ _PRIORITY = (
     "q_doc_temperature_resample",  # sqrt-temperature domain reweighting
     "q_embedding_pq",        # product-quantization codes (rows-only)
     "q_doc_bpe_tokens",      # GPT-2-style pretokenizer counts (shared RE2)
+    "q_orders_percent_rank", # global quantile normalization (range-partitioned)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
