@@ -552,8 +552,85 @@ GROUP BY w.window_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BAND join (equi key + time range): same-user purchases inside each
+# error event's 30-minute window — `p.user_id = w.user_id AND p.ts ∈
+# [w.start, w.end)`. The equi key co-locates both sides by hash shard, so
+# intervals never replicate; in-shard resolution is one composite
+# (key·span + ts) searchsorted per probe (join.bucketed_band_join_agg).
+
+
+def q_events_user_range_join(sf_dir: str):
+    import numpy as np
+
+    from .join import bucketed_band_join_agg
+
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "error"))
+        start = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "window_id": t["event_id"],
+                "w_user": t["user_id"],
+                "w_start": start,
+                "w_end": pc.add(start, pa.scalar(RANGE_WIN_US, pa.int64())),
+            }
+        )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return t.select(["user_id", "ts", "value"])
+
+    partials = bucketed_band_join_agg(
+        ds.map_batches(purchases, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value",
+        ds.map_batches(windows, batch_format="pyarrow"),
+        "window_id",
+        "w_user",
+        "w_start",
+        "w_end",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 0))  # inner-join semantics
+        return pa.table(
+            {
+                "window_id": t["iid"],
+                "n_purchases": t["n"],
+                "total_value": pa.array(
+                    np.round(t["val_sum"].to_numpy(zero_copy_only=False), 2),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    # window_id is unique (one window per error event) and a shard holds
+    # every fact row of its users, so partials are already final
+    return partials.map_batches(fin, batch_format="pyarrow")
+
+
+USER_RANGE_JOIN_SQL = """
+WITH win AS (
+  SELECT event_id AS window_id, user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT w.window_id,
+       count(*) AS n_purchases,
+       round(sum(p.value), 2) AS total_value
+FROM win w JOIN p ON p.user_id = w.user_id AND p.ts >= w.s AND p.ts < w.e
+GROUP BY w.window_id
+"""
+
+
 QUERIES = {
     "q_events_range_join": q_events_range_join,
+    "q_events_user_range_join": q_events_user_range_join,
     "q_events_asof": q_events_asof,
     "q_events_funnel": q_events_funnel,
     "q_events_json_extract": q_events_json_extract,
@@ -569,6 +646,7 @@ QUERIES = {
 
 ORACLE = {
     "q_events_range_join": RANGE_JOIN_SQL,
+    "q_events_user_range_join": USER_RANGE_JOIN_SQL,
     "q_events_asof": ASOF_SQL,
     "q_events_json_extract": JSON_EXTRACT_SQL,
     "q_events_scrub": SCRUB_SQL,

@@ -805,3 +805,110 @@ def bucketed_range_join_agg(
         )
 
     return both.groupby("__shard").map_groups(resolve, batch_format="pyarrow")
+
+
+def bucketed_band_join_agg(
+    fact_ds: rd.Dataset,
+    fact_key: str,
+    ts_col: str,
+    val_col: str,
+    intervals_ds: rd.Dataset,
+    id_col: str,
+    ikey_col: str,
+    start_col: str,
+    end_col: str,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """BAND join + per-interval aggregate: equi key AND ts ∈ [start, end)
+    — `fact.key = interval.key AND fact.ts >= start AND fact.ts < end` —
+    returning (interval id, n matches, val sum) partials.
+
+    Partitioning: plain hash-of-key shards (the equi key co-locates both
+    sides, so intervals never replicate — unlike the pure range join).
+    In-shard resolution is one composite searchsorted: facts sort by
+    (key, ts) encoded as key·SPAN + (ts − ts_min) in int64, so each probe
+    is two binary searches over the shard and pairs never materialize.
+    ASSUMPTION (asserted): max_key × ts_span < 2^62 — holds for any sane
+    id/time domain; past it, shard by key AND time slice instead.
+
+    Partials are exact per shard (a shard holds every fact row of its
+    keys); callers still merge per interval id if intervals can repeat.
+    Timestamps are int64 epoch microseconds."""
+    from .util import splitmix64
+
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    mask = np.uint64(n_shards - 1)
+
+    def shard_of(key: np.ndarray) -> np.ndarray:
+        return (splitmix64(key.astype(np.uint64)) & mask).astype(np.int32)
+
+    def tag_facts(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[fact_key], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__shard": pa.array(shard_of(k), pa.int32()),
+                "__side": pa.array(np.zeros(len(k), dtype=np.int8)),
+                "k": pa.array(k, pa.int64()),
+                "ts": pc.cast(t[ts_col], pa.int64()),
+                "val": pc.cast(t[val_col], pa.float64()),
+                "iid": pa.nulls(len(k), pa.int64()),
+                "lo": pa.nulls(len(k), pa.int64()),
+                "hi": pa.nulls(len(k), pa.int64()),
+            }
+        )
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[ikey_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__shard": pa.array(shard_of(k), pa.int32()),
+                "__side": pa.array(np.ones(len(k), dtype=np.int8)),
+                "k": pa.array(k, pa.int64()),
+                "ts": pa.nulls(len(k), pa.int64()),
+                "val": pa.nulls(len(k), pa.float64()),
+                "iid": pc.cast(t[id_col], pa.int64()),
+                "lo": pc.cast(t[start_col], pa.int64()),
+                "hi": pc.cast(t[end_col], pa.int64()),
+            }
+        )
+
+    both = fact_ds.map_batches(tag_facts, batch_format="pyarrow").union(
+        intervals_ds.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        f = side == 0
+        k = g["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fk, ik = k[f], k[~f]
+        ts = g["ts"].to_numpy(zero_copy_only=False)[f].astype(np.int64)
+        val = g["val"].to_numpy(zero_copy_only=False)[f]
+        iid = g["iid"].to_numpy(zero_copy_only=False)[~f].astype(np.int64)
+        lo = g["lo"].to_numpy(zero_copy_only=False)[~f].astype(np.int64)
+        hi = g["hi"].to_numpy(zero_copy_only=False)[~f].astype(np.int64)
+        hi = np.maximum(hi, lo)  # empty/inverted intervals match nothing
+        if len(ts):
+            ts_min = int(ts.min())
+            span = int(ts.max()) - ts_min + 2  # +1 so hi == max ts + 1 fits
+        else:
+            ts_min, span = 0, 2
+        kmax = int(max(fk.max() if len(fk) else 0, ik.max() if len(ik) else 0, 0))
+        assert kmax < (1 << 62) // span, (
+            f"composite key overflow: max_key={kmax} span={span}"
+        )
+        order = np.argsort(fk * span + (ts - ts_min), kind="stable")
+        comp = (fk * span + (ts - ts_min))[order]
+        cum = np.concatenate(([0.0], np.cumsum(val[order])))
+        clo = ik * span + np.clip(lo - ts_min, 0, span - 1)
+        chi = ik * span + np.clip(hi - ts_min, 0, span - 1)
+        a = np.searchsorted(comp, clo, side="left")
+        b = np.searchsorted(comp, chi, side="left")
+        return pa.table(
+            {
+                "iid": pa.array(iid, pa.int64()),
+                "n": pa.array((b - a).astype(np.int64), pa.int64()),
+                "val_sum": pa.array(cum[b] - cum[a], pa.float64()),
+            }
+        )
+
+    return both.groupby("__shard").map_groups(resolve, batch_format="pyarrow")

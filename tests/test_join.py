@@ -374,3 +374,34 @@ def test_range_join_agg_spanning_intervals_count_once():
     assert merged.loc[2, "n"] == 1 and merged.loc[2, "s"] == 2.0   # [5,10): ts=5
     assert merged.loc[3, "n"] == 0                                  # [26,30): none
     assert 4 not in merged.index or merged.loc[4, "n"] == 0         # empty interval
+
+
+def test_band_join_agg_equi_and_range():
+    """Band join: only same-key facts inside [start, end) count; boundary
+    semantics ts==start in, ts==end out; out-of-range and inverted
+    intervals match nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_api_ray.pipelines.join import bucketed_band_join_agg
+
+    facts = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([10, 20, 30, 10, 20], pa.int64()),
+        "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+    })
+    ivs = pa.table({
+        "iid": pa.array([100, 101, 102, 103, 104], pa.int64()),
+        "ik": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "s": pa.array([10, 30, 0, 50, 10], pa.int64()),
+        "e": pa.array([30, 31, 100, 40, 40], pa.int64()),
+    })
+    out = bucketed_band_join_agg(
+        rd.from_arrow(facts), "k", "ts", "v",
+        rd.from_arrow(ivs), "iid", "ik", "s", "e",
+    ).to_pandas().set_index("iid")
+    assert out.loc[100, "n"] == 2 and out.loc[100, "val_sum"] == 3.0  # k=1 [10,30)
+    assert out.loc[101, "n"] == 1 and out.loc[101, "val_sum"] == 4.0  # ts==30 in
+    assert out.loc[102, "n"] == 2 and out.loc[102, "val_sum"] == 24.0 # all k=2
+    assert out.loc[103, "n"] == 0                                     # past range
+    assert out.loc[104, "n"] == 0                                     # key absent
