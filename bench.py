@@ -58,8 +58,10 @@ BENCH_QUERIES = [
     "q_semi_join_bloom",
     # round-4 additions
     "q_events_range_join",
+    "q_events_user_range_join",
     "q_orders_cube",
     "q_doc_trimmed_stats",
+    "q_orders_percent_rank",
     "q_extract_xlsx",
 ]
 

@@ -593,9 +593,17 @@ def auto_equi_join(
     if broadcast:
         import ray
 
-        right_tbl = pa.concat_tables(
-            ray.get(right_ds.to_arrow_refs())
-        ).combine_chunks().select(list(right_schema.names))
+        # zero-row blocks can carry an empty schema (Ray artifact) and
+        # parquet physical types may differ from the declared schema —
+        # drop empties and promote before concat
+        blocks = [t for t in ray.get(right_ds.to_arrow_refs()) if t.num_rows > 0]
+        right_tbl = (
+            pa.concat_tables(blocks, promote_options="permissive")
+            .combine_chunks()
+            .select(list(right_schema.names))
+            if blocks
+            else right_schema.empty_table()
+        )
         ref = ray.put(right_tbl)
         left_names = list(left_schema.names)
 
@@ -664,8 +672,12 @@ def auto_semi_anti(
     if broadcast:
         import ray
 
-        keys_tbl = pa.concat_tables(ray.get(keys_ds.to_arrow_refs()))
-        kset = pc.unique(keys_tbl[keys_key].combine_chunks())
+        blocks = [t for t in ray.get(keys_ds.to_arrow_refs()) if t.num_rows > 0]
+        if blocks:
+            keys_tbl = pa.concat_tables(blocks, promote_options="permissive")
+            kset = pc.unique(keys_tbl[keys_key].combine_chunks())
+        else:
+            kset = pa.array([], pa.int64())
         ref = ray.put(kset)
 
         def filt(t: pa.Table) -> pa.Table:
