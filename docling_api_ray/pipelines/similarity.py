@@ -660,3 +660,78 @@ def q_embedding_pq(sf_dir: str):
 
 
 QUERIES["q_embedding_pq"] = q_embedding_pq
+
+
+# ---------------------------------------------------------------------------
+# Vector (array) aggregate: per-label mean embedding — the centroid table
+# that seeds clustering / dedup / drift monitoring. Per-batch partials
+# are (label, dim, sum, n) long-form rows built by ONE matmul-free
+# bincount pass (labels dictionary-encoded, per-dim sums via indexed
+# accumulation), merged by a (label, dim)-grained groupby whose size is
+# |labels| × d — never the row count. Long-form output keeps the schema
+# SQL-comparable (DuckDB: unnest with ordinality).
+
+
+def q_embedding_label_centroid(sf_dir: str):
+    ds = read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        mat = _stack(t["embedding"])
+        n, d = mat.shape
+        lc = t["label"].combine_chunks().dictionary_encode()
+        lvals = lc.dictionary.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = lc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(lvals)
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(lvals, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "s": pa.array(sums.reshape(-1), pa.float64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": t["label"],
+                "dim": t["dim"],
+                "centroid": pa.array(np.round(s / n, 6), pa.float64()),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+CENTROID_SQL = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT label, dim, round(avg(CAST(x AS DOUBLE)), 6) AS centroid
+FROM e GROUP BY label, dim
+"""
+
+QUERIES["q_embedding_label_centroid"] = q_embedding_label_centroid
+ORACLE["q_embedding_label_centroid"] = CENTROID_SQL
