@@ -2532,3 +2532,58 @@ FROM documents
 
 QUERIES["q_doc_bpe_tokens"] = q_doc_bpe_tokens
 ORACLE["q_doc_bpe_tokens"] = BPE_TOKENS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Near-dedup KEEP DECISION: the step that turns pairwise/cluster output
+# into a filtered corpus. Every document gets a row: docs in a near-dup
+# cluster keep only the longest member (tie → min doc_id; "keep longest"
+# is the standard web-dedup heuristic), everything else keeps itself.
+# The cluster map is the OUTPUT of LSH+verify+union-find — output-bounded
+# driver state (the CLAUDE.md rule) — broadcast once; the decision is a
+# streaming map_batches over the corpus, no shuffle.
+
+
+def q_doc_neardup_keep(sf_dir: str):
+    clusters = q_dup_clusters(sf_dir).to_pandas()  # output-bounded
+    docs = read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    # winner per cluster: max n_chars, tie min doc_id — needs member
+    # lengths; members are cluster-bounded so one driver-side lookup
+    # table is fine (broadcast below)
+    member_ids = set(clusters["doc_id"].tolist())
+    cl_of = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+
+    def member_lengths(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["doc_id"], value_set=pa.array(sorted(member_ids), pa.int64()))
+        t = t.filter(m)
+        return t.select(["doc_id", "n_chars"])
+
+    lengths = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.map_batches(member_lengths, batch_format="pyarrow").take_all()
+    }  # ≤ cluster-member count — output-bounded
+    best: dict[int, int] = {}
+    for d, c in cl_of.items():
+        ln = lengths.get(d, 0)
+        cur = best.get(c)
+        if cur is None or (ln, -d) > (lengths.get(cur, 0), -cur):
+            best[c] = d
+    keep_of = {d: best[c] for d, c in cl_of.items()}
+    ref = ray.put(keep_of)
+
+    def decide(t: pa.Table) -> pa.Table:
+        ko = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        kept_id = np.array([ko.get(int(d), int(d)) for d in ids], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "kept_id": pa.array(kept_id, pa.int64()),
+                "keep": pa.array((kept_id == ids).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(decide, batch_format="pyarrow")
+
+
+QUERIES["q_doc_neardup_keep"] = q_doc_neardup_keep

@@ -72,6 +72,7 @@ _PRIORITY = (
     "q_orders_percent_rank", # global quantile normalization (range-partitioned)
     "q_events_user_range_join",  # band join (equi key + time range)
     "q_embedding_label_centroid",  # vector aggregate (per-label mean embedding)
+    "q_doc_neardup_keep",    # near-dedup keep-longest decision table
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",

@@ -237,3 +237,30 @@ def test_pq_compression_quality_and_determinism(ray_session):
     top_exact = set(np.argsort(exact)[:20])
     top_approx = set(np.argsort(approx)[:20])
     assert len(top_exact & top_approx) >= 8
+
+
+def test_neardup_keep_decision(ray_session):
+    import pandas as pd
+
+    from docling_api_ray.pipelines.text import q_doc_neardup_keep, q_dup_clusters
+
+    out = q_doc_neardup_keep(SF).to_pandas()
+    clusters = q_dup_clusters(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    n_docs = len(docs)
+    assert len(out) == n_docs and out["doc_id"].is_unique
+
+    member = set(clusters["doc_id"])
+    nonmember = out[~out["doc_id"].isin(member)]
+    assert (nonmember["keep"] == 1).all()
+    assert (nonmember["kept_id"] == nonmember["doc_id"]).all()
+
+    merged = out.merge(clusters, on="doc_id").merge(docs, on="doc_id")
+    for cid, g in merged.groupby("cluster_id"):
+        kept = g[g["keep"] == 1]
+        assert len(kept) == 1, cid  # exactly one survivor per cluster
+        # survivor is the longest member (tie -> min doc_id)
+        mx = g["n_chars"].max()
+        expect = g[g["n_chars"] == mx]["doc_id"].min()
+        assert kept["doc_id"].iloc[0] == expect, cid
+        assert (g["kept_id"] == expect).all(), cid
