@@ -39,7 +39,7 @@ from .join import (
     bucketed_semi_anti,
     table_bytes,
 )
-from .util import agg_to_table, broadcast, read, read_small, round_col
+from .util import agg_to_table, broadcast, key_bucketed, read, read_small, round_col
 
 CUT = datetime(1998, 1, 1)
 
@@ -1406,3 +1406,335 @@ GROUP BY l_returnflag
 
 QUERIES["q12_late_lines"] = q12_late_lines
 ORACLE["q12_late_lines"] = Q12_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape (EXISTS semi-join → grouped count): orders in a half-year
+# window that have at least one deeply-discounted line, counted per
+# priority. The EXISTS rides auto_semi_anti (set-semantics membership —
+# a fact row survives once no matter how many lines match), and the
+# per-priority counts are mergeable partials under BOTH strategies, so
+# one priority-grained groupby finalizes either way.
+
+_Q4_LO = datetime(1997, 1, 1)
+_Q4_HI = datetime(1997, 7, 1)
+
+
+def q4_order_priority(sf_dir: str):
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(_Q4_LO)),
+            pc.less(t["o_orderdate"], pa.scalar(_Q4_HI)),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_discount"])
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_discount"], 0.05)).select(["l_orderkey"])
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        return pa.table(
+            {
+                "o_orderpriority": g["o_orderpriority"],
+                "n_part": pc.cast(g["o_orderkey_count"], pa.int64()),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "lineitem"))
+    joined, _ = auto_semi_anti(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        "o_orderkey",
+        li.map_batches(li_keys, batch_format="pyarrow"),
+        "l_orderkey",
+        nb,
+        keys_bytes=table_bytes(sf_dir, "lineitem"),
+        fact_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+        post=cnt_partial,
+    )
+    merged = joined.groupby("o_orderpriority").aggregate(
+        Sum("n_part", alias_name="order_count")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "order_count": pc.cast(t["order_count"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q4_order_priority"] = q4_order_priority
+ORACLE["q4_order_priority"] = Q4_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape (conditional revenue ratio over a dimension join): share
+# of one ship-month's revenue coming from PROMO-typed parts. The part side
+# rides auto_equi_join (dimension-sized → broadcast; 100× → bucketed);
+# each batch/bucket emits a (promo, tot) sum pair, and the two global sums
+# merge through Dataset.aggregate — a scalar reduce, never a shuffle.
+
+_Q14_LO = datetime(1997, 3, 1)
+_Q14_HI = datetime(1997, 4, 1)
+
+
+def q14_promo_revenue(sf_dir: str):
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(_Q14_LO)),
+            pc.less(t["l_shipdate"], pa.scalar(_Q14_HI)),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_partkey": t["l_partkey"], "rev": rev})
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "is_promo": pc.cast(pc.equal(t["p_type"], "PROMO"), pa.float64()),
+            }
+        )
+
+    def post(t: pa.Table) -> pa.Table:
+        promo = pc.sum(pc.multiply(t["rev"], t["is_promo"])).as_py() or 0.0
+        tot = pc.sum(t["rev"]).as_py() or 0.0
+        return pa.table(
+            {
+                "promo": pa.array([promo], pa.float64()),
+                "tot": pa.array([tot], pa.float64()),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "part"))
+    partials = auto_equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_partkey",
+        part.map_batches(part_prep, batch_format="pyarrow"),
+        "p_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()), ("rev", pa.float64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()), ("is_promo", pa.float64())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "part"),
+        how="inner",
+        post=post,
+    )
+    d = partials.aggregate(Sum("promo", alias_name="p"), Sum("tot", alias_name="t"))
+    if not d or d.get("t") in (None, 0.0):
+        ratio = float("nan")  # SQL: sum over zero rows is NULL
+    else:
+        ratio = float(np.round(100.0 * d["p"] / d["t"], 4))
+    return pa.table({"promo_ratio": pa.array([ratio], pa.float64())})
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_ratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+QUERIES["q14_promo_revenue"] = q14_promo_revenue
+ORACLE["q14_promo_revenue"] = Q14_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape (correlated per-key threshold): revenue of lines whose
+# quantity is below 0.2× their part's average quantity, for one brand.
+# The brand's partkeys semi-filter lineitem (auto_semi_anti), then the
+# per-partkey avg + filter + sum all resolve inside ONE key_bucketed
+# shuffle of the ~1/|brands| filtered stream — the correlated subquery
+# never materializes per-part state on the driver. l_quantity is
+# integer-valued, so pandas mean (sum/len) and SQL avg are IEEE-identical
+# and the 0.2× comparison cannot diverge.
+
+_Q17_BRAND = "Brand#1"
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    part = read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def pkeys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_brand"], _Q17_BRAND)).select(["p_partkey"])
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "part"))
+    semi, _ = auto_semi_anti(
+        li,
+        "l_partkey",
+        part.map_batches(pkeys, batch_format="pyarrow"),
+        "p_partkey",
+        nb,
+        keys_bytes=table_bytes(sf_dir, "part"),
+        fact_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+            ]
+        ),
+    )
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        thr = 0.2 * g.groupby("l_partkey")["l_quantity"].transform("mean")
+        s = float(g.loc[g["l_quantity"] < thr, "l_extendedprice"].sum())
+        return pd.DataFrame({"s": [s], "n": [int((g["l_quantity"] < thr).sum())]})
+
+    partials = key_bucketed(semi, "l_partkey", bucket_sum)
+    d = partials.aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    if not d or not d.get("n"):
+        out = float("nan")  # SQL: sum over zero rows is NULL
+    else:
+        out = float(np.round(d["s"] / 7.0, 2))
+    return pa.table({"avg_yearly": pa.array([out], pa.float64())})
+
+
+Q17_SQL = f"""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{_Q17_BRAND}'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+QUERIES["q17_small_qty_revenue"] = q17_small_qty_revenue
+ORACLE["q17_small_qty_revenue"] = Q17_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (global-scalar threshold + anti-join): customers richer
+# than the average positive balance with no RECENT order (none since
+# _Q22_CUT), rolled up per nation. The scalar threshold is a
+# Dataset.aggregate reduce (no materialization); the NOT EXISTS rides
+# auto_semi_anti(anti=True) against the date-filtered orders key stream;
+# per-nation (count, balance) partials merge in one nation-grained
+# groupby whose output-bounded rows fold on the driver (schema-stable
+# even when empty).
+
+_Q22_CUT = datetime(1999, 1, 1)
+
+
+def q22_idle_customers(sf_dir: str):
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def positive(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], 0.0)).select(["c_acctbal"])
+
+    d = cust.map_batches(positive, batch_format="pyarrow").aggregate(
+        Sum("c_acctbal", alias_name="s"), Count(alias_name="n")
+    )
+    empty = pa.table(
+        {
+            "c_nationkey": pa.array([], pa.int64()),
+            "numcust": pa.array([], pa.int64()),
+            "totacctbal": pa.array([], pa.float64()),
+        }
+    )
+    if not d or not d.get("n"):
+        return empty  # comparison with SQL NULL threshold keeps no rows
+    thr = d["s"] / d["n"]
+
+    def rich(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["c_acctbal"], thr))
+
+    okeys_raw = read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def recent(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(_Q22_CUT))
+        ).select(["o_custkey"])
+
+    okeys = okeys_raw.map_batches(recent, batch_format="pyarrow")
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_nationkey").aggregate(
+            [("c_custkey", "count"), ("c_acctbal", "sum")]
+        )
+        return pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "n_part": pc.cast(g["c_custkey_count"], pa.int64()),
+                "bal_part": pc.cast(g["c_acctbal_sum"], pa.float64()),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "customer", "orders"))
+    joined, _ = auto_semi_anti(
+        cust.map_batches(rich, batch_format="pyarrow"),
+        "c_custkey",
+        okeys,
+        "o_custkey",
+        nb,
+        keys_bytes=table_bytes(sf_dir, "orders"),
+        anti=True,
+        fact_schema=pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+                ("c_acctbal", pa.float64()),
+            ]
+        ),
+        post=cnt_partial,
+    )
+    merged = joined.groupby("c_nationkey").aggregate(
+        Sum("n_part", alias_name="numcust"),
+        Sum("bal_part", alias_name="totacctbal"),
+    )
+    # nation-grained (≤ |nations| rows): fold on the driver so the empty
+    # result still carries the output schema
+    rows = merged.take_all()
+    if not rows:
+        return empty
+    t = pa.table(
+        {
+            "c_nationkey": pa.array([r["c_nationkey"] for r in rows], pa.int64()),
+            "numcust": pa.array([int(r["numcust"]) for r in rows], pa.int64()),
+            "totacctbal": pa.array(
+                [float(r["totacctbal"]) for r in rows], pa.float64()
+            ),
+        }
+    )
+    return round_col(t, "totacctbal", 2)
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+QUERIES["q22_idle_customers"] = q22_idle_customers
+ORACLE["q22_idle_customers"] = Q22_SQL

@@ -73,6 +73,10 @@ _PRIORITY = (
     "q_events_user_range_join",  # band join (equi key + time range)
     "q_embedding_label_centroid",  # vector aggregate (per-label mean embedding)
     "q_doc_neardup_keep",    # near-dedup keep-longest decision table
+    "q4_order_priority",     # EXISTS semi-join -> grouped count (Q4 shape)
+    "q14_promo_revenue",     # conditional revenue ratio over dim join (Q14)
+    "q17_small_qty_revenue", # correlated per-key avg threshold (Q17 shape)
+    "q22_idle_customers",    # scalar threshold + windowed anti-join (Q22)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
@@ -94,11 +98,13 @@ _PRIORITY = (
     "q_events_sessionize",
     "q_cust_order_counts",
     "q_top_customers",
+    # ---------------- below here = past the driver window ----------------
+    # repeatedly-green, unchanged entries rotated out for the r04 TPC-H
+    # additions (each holds green rows in CORRECTNESS_r01-r03):
     "q10_returned_items",
     "q_top_orders_per_segment",
     "q_nation_customer_stats",
     "q_intersect_all_custkeys",
-    # ---------------- below here = past the driver window ----------------
     # repeatedly-green, unchanged entries and rows-only twins of
     # SQL-checked ops — fully registered and pytest-gated.
     "q_except_all_custkeys",
