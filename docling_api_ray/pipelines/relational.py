@@ -1738,3 +1738,293 @@ GROUP BY c_nationkey
 
 QUERIES["q22_idle_customers"] = q22_idle_customers
 ORACLE["q22_idle_customers"] = Q22_SQL
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape (two-nation volume shipping): revenue flowing between a
+# pair of nations, split by shipper nation × customer nation × ship year.
+# Both dimension legs (supplier→nation, customer→nation) are 2/|nations|
+# selective, so their byte estimates are scaled before auto_equi_join —
+# they broadcast at test SF and bucket at 100×. The orders leg is joined
+# to the filtered customer side FIRST (shrinking it to the two nations'
+# orders) before the lineitem⋈orders equi-join, and the final
+# (supp_nation, cust_nation, year) rollup is pre-aggregated inside the
+# join's post so the last groupby moves only tiny partials.
+# Generalizes the reference's usage-rollup joins (key_service.py:166-179).
+
+_Q7_NATIONS = ("NATION_3", "NATION_8")  # both have suppliers even at sf0.001
+_Q7_LO = datetime(1996, 1, 1)
+_Q7_HI = datetime(1998, 1, 1)
+
+
+def q7_nation_volume(sf_dir: str):
+    nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    m = pc.is_in(nat["n_name"], value_set=pa.array(_Q7_NATIONS))
+    nat = nat.filter(m)
+    nkeys = pa.array(nat["n_nationkey"].to_pylist(), pa.int32())
+    nnames = nat["n_name"].combine_chunks()
+
+    def tag_nation(keys: pa.ChunkedArray) -> pa.Array:
+        # nationkey → name via index_in on the (tiny) filtered nation table
+        idx = pc.index_in(pc.cast(keys, pa.int32()), value_set=nkeys)
+        return pc.take(nnames, idx)
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int32()), value_set=nkeys))
+        return pa.table(
+            {"s_suppkey": t["s_suppkey"], "supp_nation": tag_nation(t["s_nationkey"])}
+        )
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["c_nationkey"], pa.int32()), value_set=nkeys))
+        return pa.table(
+            {"c_custkey": t["c_custkey"], "cust_nation": tag_nation(t["c_nationkey"])}
+        )
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sel = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(_Q7_LO)),
+            pc.less(t["l_shipdate"], pa.scalar(_Q7_HI)),
+        )
+        t = t.filter(sel)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "l_year": pc.year(t["l_shipdate"]),
+                "volume": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
+        )
+
+    n_nat = max(1, len(read_small(sf_dir, "nation", columns=["n_nationkey"])))
+    sel_frac_num, sel_frac_den = len(_Q7_NATIONS), n_nat
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+
+    def j1_post(t: pa.Table) -> pa.Table:
+        return t.select(["l_orderkey", "l_year", "volume", "supp_nation"])
+
+    j1 = auto_equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_suppkey",
+        supp.map_batches(supp_prep, batch_format="pyarrow"),
+        "s_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_year", pa.int64()),
+                ("volume", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("supp_nation", pa.string())]),
+        n_buckets=nb,
+        right_bytes=max(1, table_bytes(sf_dir, "supplier") * sel_frac_num // sel_frac_den),
+        how="inner",
+        post=j1_post,
+    )
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def ord_post(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderkey", "cust_nation"])
+
+    ord_side = auto_equi_join(
+        orders,
+        "o_custkey",
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        "c_custkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("cust_nation", pa.string())]),
+        n_buckets=nb,
+        right_bytes=max(1, table_bytes(sf_dir, "customer") * sel_frac_num // sel_frac_den),
+        how="inner",
+        post=ord_post,
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # only cross-nation flows count (the OR of the two orderings)
+        t = t.filter(pc.not_equal(t["supp_nation"], t["cust_nation"]))
+        g = t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("volume", "sum")]
+        )
+        return pa.table(
+            {
+                "supp_nation": g["supp_nation"],
+                "cust_nation": g["cust_nation"],
+                "l_year": pc.cast(g["l_year"], pa.int64()),
+                "rev_part": pc.cast(g["volume_sum"], pa.float64()),
+            }
+        )
+
+    joined = auto_equi_join(
+        j1,
+        "l_orderkey",
+        ord_side,
+        "o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_year", pa.int64()),
+                ("volume", pa.float64()),
+                ("supp_nation", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("cust_nation", pa.string())]),
+        n_buckets=nb,
+        right_bytes=max(
+            1, table_bytes(sf_dir, "orders") * sel_frac_num // sel_frac_den
+        ),
+        how="inner",
+        post=pair_partial,
+    )
+    merged = joined.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("rev_part", alias_name="revenue")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return round_col(
+            t.select(["supp_nation", "cust_nation", "l_year", "revenue"]),
+            "revenue",
+            2,
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+      OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+QUERIES["q7_nation_volume"] = q7_nation_volume
+ORACLE["q7_nation_volume"] = Q7_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape (aggregate → argmax over the aggregate): the supplier(s)
+# with the highest quarterly revenue. The per-supplier rollup is one
+# groupby (supplier-cardinality output — bounded), materialized ONCE so
+# the max-reduce and the equality filter don't recompute it; the winner
+# set is tie-bounded (normally 1 row), so the name lookup joins on the
+# driver against the supplier dimension. Argmax runs on the UNROUNDED
+# sums in both engines, so a sub-cent ordering difference can't flip the
+# winner unless two suppliers truly tie to the ulp.
+
+_Q15_LO = datetime(1997, 1, 1)
+_Q15_HI = datetime(1997, 4, 1)
+
+
+def q15_top_supplier(sf_dir: str):
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(_Q15_LO)),
+            pc.less(t["l_shipdate"], pa.scalar(_Q15_HI)),
+        )
+        t = t.filter(m)
+        return pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
+        )
+
+    revenue = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="total_revenue"))
+        .materialize()  # |suppliers| rows — bounded; reused by max + filter
+    )
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "total_revenue": pa.array([], pa.float64()),
+        }
+    )
+    d = revenue.aggregate(Max("total_revenue", alias_name="m"))
+    if not d or d.get("m") is None:
+        return empty
+    mx = d["m"]
+
+    def is_top(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["total_revenue"], mx))
+
+    rows = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                revenue.map_batches(is_top, batch_format="pyarrow").to_arrow_refs()
+            )
+            if t.num_rows > 0
+        ]
+        or [
+            pa.table(
+                {
+                    "l_suppkey": pa.array([], pa.int64()),
+                    "total_revenue": pa.array([], pa.float64()),
+                }
+            )
+        ],
+        promote_options="permissive",
+    )
+    if rows.num_rows == 0:
+        return empty
+    supp = read_small(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out = (
+        rows.select(["l_suppkey", "total_revenue"])
+        .rename_columns(["s_suppkey", "total_revenue"])
+        .join(supp, keys=["s_suppkey"], join_type="inner")
+    )
+    return round_col(
+        out.select(["s_suppkey", "s_name", "total_revenue"]), "total_revenue", 2
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+QUERIES["q15_top_supplier"] = q15_top_supplier
+ORACLE["q15_top_supplier"] = Q15_SQL

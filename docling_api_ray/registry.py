@@ -77,6 +77,8 @@ _PRIORITY = (
     "q14_promo_revenue",     # conditional revenue ratio over dim join (Q14)
     "q17_small_qty_revenue", # correlated per-key avg threshold (Q17 shape)
     "q22_idle_customers",    # scalar threshold + windowed anti-join (Q22)
+    "q7_nation_volume",      # two-nation volume flows, 3-leg join (Q7 shape)
+    "q15_top_supplier",      # aggregate -> argmax over the aggregate (Q15)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
