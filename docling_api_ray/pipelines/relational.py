@@ -2028,3 +2028,195 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 
 QUERIES["q15_top_supplier"] = q15_top_supplier
 ORACLE["q15_top_supplier"] = Q15_SQL
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape (distribution of per-key counts, including the zero
+# bucket): how many customers placed k non-urgent orders, for every k.
+# The LEFT OUTER JOIN never runs: per-customer counts come from one
+# orders-side groupby; a bucketed semi-join against the customer key
+# stream drops any non-customer keys (exactness without assuming FK
+# integrity); and the k=0 bucket is |customer| minus the matched-count
+# total — an arithmetic identity, not a join. The histogram itself is
+# bounded by max-orders-per-customer, so it folds on the driver.
+
+_Q13_EXCL = "1-URGENT"
+
+
+def q13_count_distribution(sf_dir: str):
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["o_orderpriority"], _Q13_EXCL)).select(
+            ["o_custkey"]
+        )
+
+    counts = (
+        orders.map_batches(keep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+
+    cust_keys = read(sf_dir, "customer", columns=["c_custkey"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_count").aggregate([("o_custkey", "count")])
+        return pa.table(
+            {
+                "c_count": pc.cast(g["c_count"], pa.int64()),
+                "n_part": pc.cast(g["o_custkey_count"], pa.int64()),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "orders", "customer"))
+    matched, _ = auto_semi_anti(
+        counts,
+        "o_custkey",
+        cust_keys,
+        "c_custkey",
+        nb,
+        keys_bytes=table_bytes(sf_dir, "customer"),
+        fact_schema=pa.schema([("o_custkey", pa.int64()), ("c_count", pa.int64())]),
+        post=hist_partial,
+    )
+    hist = matched.groupby("c_count").aggregate(Sum("n_part", alias_name="custdist"))
+    rows = hist.take_all()  # ≤ max-orders-per-customer rows
+    ks = [int(r["c_count"]) for r in rows]
+    vs = [int(r["custdist"]) for r in rows]
+    total = read(sf_dir, "customer", columns=["c_custkey"]).count()
+    zero = total - sum(vs)
+    if zero > 0:
+        ks.append(0)
+        vs.append(zero)
+    return pa.table(
+        {"c_count": pa.array(ks, pa.int64()), "custdist": pa.array(vs, pa.int64())}
+    )
+
+
+Q13_SQL = f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{_Q13_EXCL}'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+QUERIES["q13_count_distribution"] = q13_count_distribution
+ORACLE["q13_count_distribution"] = Q13_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape (HAVING-filtered key set re-joined to the facts): orders
+# whose total line quantity exceeds a threshold, with customer context.
+# The winner set is one lineitem groupby + filter (output-bounded, ~1% of
+# orders at the chosen threshold) and becomes the BUILD side of the
+# orders join via auto_equi_join — its byte estimate is scaled by the
+# observed selectivity so small SF broadcasts and 100× buckets. Customer
+# names attach the same way. No re-aggregation after the joins: the
+# grouped sum rides along as a payload column.
+
+_Q18_QTY = 250.0
+
+
+def q18_large_orders(sf_dir: str):
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    winners = (
+        li.groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="total_qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["total_qty"], _Q18_QTY)),
+            batch_format="pyarrow",
+        )
+    )
+
+    orders = read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": pc.strftime(t["o_orderdate"], format="%Y-%m-%d"),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+    j1 = auto_equi_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        winners,
+        "l_orderkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.string()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("l_orderkey", pa.int64()), ("total_qty", pa.float64())]),
+        n_buckets=nb,
+        # ~1% of orders survive the HAVING at the chosen threshold
+        right_bytes=max(1, table_bytes(sf_dir, "orders") // 64),
+        how="inner",
+    )
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_name": t["c_name"],
+                "c_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice": t["o_totalprice"],
+                "total_qty": t["total_qty"],
+            }
+        )
+
+    return auto_equi_join(
+        j1,
+        "o_custkey",
+        cust,
+        "c_custkey",
+        left_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderdate", pa.string()),
+                ("o_totalprice", pa.float64()),
+                ("total_qty", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "customer"),
+        how="inner",
+        post=fin,
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, total_qty
+FROM (
+  SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         sum(l_quantity) AS total_qty
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2, 3, 4, 5
+  HAVING sum(l_quantity) > {_Q18_QTY}
+)
+"""
+
+QUERIES["q18_large_orders"] = q18_large_orders
+ORACLE["q18_large_orders"] = Q18_SQL

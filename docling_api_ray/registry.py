@@ -79,6 +79,8 @@ _PRIORITY = (
     "q22_idle_customers",    # scalar threshold + windowed anti-join (Q22)
     "q7_nation_volume",      # two-nation volume flows, 3-leg join (Q7 shape)
     "q15_top_supplier",      # aggregate -> argmax over the aggregate (Q15)
+    "q13_count_distribution",  # per-key count histogram incl. zero bucket (Q13)
+    "q18_large_orders",      # HAVING-filtered key set re-joined to facts (Q18)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
