@@ -2220,3 +2220,189 @@ FROM (
 
 QUERIES["q18_large_orders"] = q18_large_orders
 ORACLE["q18_large_orders"] = Q18_SQL
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape (disjunctive join predicates): revenue from three
+# brand × quantity-band clauses OR'd together. The part side carries only
+# (p_partkey, p_brand) through auto_equi_join (broadcast at test SF,
+# bucketed at 100×); the disjunction evaluates vectorized inside the
+# join's post, which collapses each batch/bucket to ONE (sum) partial —
+# the final reduce is a scalar Dataset.aggregate, never a shuffle.
+
+_Q19_CLAUSES = (
+    ("Brand#1", 1.0, 11.0),
+    ("Brand#2", 10.0, 20.0),
+    ("Brand#3", 20.0, 30.0),
+)
+
+
+def q19_brand_band_revenue(sf_dir: str):
+    li = read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_quantity": t["l_quantity"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
+        )
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def post(t: pa.Table) -> pa.Table:
+        m = None
+        for brand, lo, hi in _Q19_CLAUSES:
+            clause = pc.and_(
+                pc.equal(t["p_brand"], brand),
+                pc.and_(
+                    pc.greater_equal(t["l_quantity"], lo),
+                    pc.less_equal(t["l_quantity"], hi),
+                ),
+            )
+            m = clause if m is None else pc.or_(m, clause)
+        s = pc.sum(pc.multiply(t["rev"], pc.cast(m, pa.float64()))).as_py() or 0.0
+        n = pc.sum(pc.cast(m, pa.int64())).as_py() or 0
+        return pa.table(
+            {"s": pa.array([s], pa.float64()), "n": pa.array([n], pa.int64())}
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "part"))
+    partials = auto_equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_partkey",
+        part,
+        "p_partkey",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("rev", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "part"),
+        how="inner",
+        post=post,
+    )
+    d = partials.aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    if not d or not d.get("n"):
+        rev = float("nan")  # SQL: sum over zero rows is NULL
+    else:
+        rev = float(np.round(d["s"], 2))
+    return pa.table({"revenue": pa.array([rev], pa.float64())})
+
+
+_q19_where = " OR ".join(
+    f"(p_brand = '{b}' AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, lo, hi in _Q19_CLAUSES
+)
+Q19_SQL = f"""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_q19_where}
+"""
+
+QUERIES["q19_brand_band_revenue"] = q19_brand_band_revenue
+ORACLE["q19_brand_band_revenue"] = Q19_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (distinct-count after an anti-join): how many distinct
+# suppliers shipped each non-PROMO brand, excluding blacklisted suppliers
+# (negative balance). The blacklist is a key-stream anti via
+# auto_semi_anti; brand attach rides auto_equi_join; the DISTINCT is one
+# pair-keyed groupby (in-batch partial dedup first, so the shuffle moves
+# unique (brand, suppkey) pairs, not raw lineitems) and the final
+# per-brand count moves only brand-grained partials.
+# Adaptation note: the reference testdata has no partsupp table, so
+# lineitem serves as the part↔supplier relation.
+
+
+def q16_brand_supplier_count(sf_dir: str):
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def bad(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["s_acctbal"], 0.0)).select(["s_suppkey"])
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "part"))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["p_brand", "l_suppkey"]).aggregate([]).select(
+            ["p_brand", "l_suppkey"]
+        )
+
+    anti, _ = auto_semi_anti(
+        li,
+        "l_suppkey",
+        supp.map_batches(bad, batch_format="pyarrow"),
+        "s_suppkey",
+        nb,
+        keys_bytes=max(1, table_bytes(sf_dir, "supplier") // 8),
+        anti=True,
+        fact_schema=pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+    )
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type"])
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["p_type"], "PROMO")).select(
+            ["p_partkey", "p_brand"]
+        )
+
+    pairs = auto_equi_join(
+        anti,
+        "l_partkey",
+        part.map_batches(part_prep, batch_format="pyarrow"),
+        "p_partkey",
+        left_schema=pa.schema([("l_partkey", pa.int64()), ("l_suppkey", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()), ("p_brand", pa.string())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "part"),
+        how="inner",
+        post=pair_partial,
+    )
+    uniq = pairs.groupby(["p_brand", "l_suppkey"]).aggregate(Count(alias_name="_n"))
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("p_brand").aggregate([("l_suppkey", "count")])
+        return pa.table(
+            {
+                "p_brand": g["p_brand"],
+                "n_part": pc.cast(g["l_suppkey_count"], pa.int64()),
+            }
+        )
+
+    merged = (
+        uniq.map_batches(brand_partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n_part", alias_name="supplier_cnt"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "supplier_cnt": pc.cast(t["supplier_cnt"], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+Q16_SQL = """
+SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand
+"""
+
+QUERIES["q16_brand_supplier_count"] = q16_brand_supplier_count
+ORACLE["q16_brand_supplier_count"] = Q16_SQL

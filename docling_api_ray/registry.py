@@ -81,6 +81,8 @@ _PRIORITY = (
     "q15_top_supplier",      # aggregate -> argmax over the aggregate (Q15)
     "q13_count_distribution",  # per-key count histogram incl. zero bucket (Q13)
     "q18_large_orders",      # HAVING-filtered key set re-joined to facts (Q18)
+    "q19_brand_band_revenue",  # disjunctive join predicates, scalar reduce (Q19)
+    "q16_brand_supplier_count",  # distinct-count after anti-join (Q16 shape)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
