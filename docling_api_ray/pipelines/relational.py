@@ -2406,3 +2406,278 @@ GROUP BY p_brand
 
 QUERIES["q16_brand_supplier_count"] = q16_brand_supplier_count
 ORACLE["q16_brand_supplier_count"] = Q16_SQL
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape (HAVING vs a global-scalar fraction): parts whose total
+# shipped value exceeds 1.2× the mean per-part value. ONE partkey groupby
+# produces the per-part sums; the global total AND the distinct-part
+# count both derive from that same grouped dataset (materialized once —
+# part-cardinality blocks stay distributed), so the correlated scalar
+# subquery costs a scalar reduce, not a second fact scan. The threshold
+# is scale-free (a fraction of the mean), so the query stays selective
+# at every SF. Adaptation note: no partsupp table in the testdata, so
+# lineitem value serves as the part-inventory relation.
+
+
+def q11_important_parts(sf_dir: str):
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "v": pc.multiply(t["l_extendedprice"], t["l_quantity"]),
+            }
+        )
+
+    grouped = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("v", alias_name="value"))
+        .materialize()  # |parts| rows, reused by total + count + filter
+    )
+    d = grouped.aggregate(Sum("value", alias_name="s"), Count(alias_name="n"))
+    empty = pa.table(
+        {
+            "l_partkey": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    if not d or not d.get("n"):
+        return empty
+    thr = 1.2 * d["s"] / d["n"]
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["value"], thr))
+        return round_col(t.select(["l_partkey", "value"]), "value", 2)
+
+    return grouped.map_batches(keep, batch_format="pyarrow")
+
+
+Q11_SQL = """
+SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_extendedprice * l_quantity) >
+       (SELECT 1.2 * sum(l_extendedprice * l_quantity) / count(DISTINCT l_partkey)
+        FROM lineitem)
+"""
+
+QUERIES["q11_important_parts"] = q11_important_parts
+ORACLE["q11_important_parts"] = Q11_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape (market-share ratio by year): the share of STANDARD-part
+# revenue carried by one nation's suppliers, among orders placed by one
+# region's customers, per order year. Five dimension legs collapse into
+# three cheap tags: the part filter is a semi-join key stream, the
+# supplier leg becomes a broadcast is_target flag, and the customer-
+# region leg (customer→nation→region) broadcasts as a filtered key set
+# attached to orders. The only fact-fact exchange is lineitem⋈orders via
+# auto_equi_join (region-filtered orders estimate scales the build side).
+# Numerator/denominator partial-sum per (year, bucket) so the final
+# groupby moves year-grained pairs; division happens once per year row.
+
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "ASIA"
+_Q8_PTYPE = "STANDARD"
+
+
+def q8_market_share(sf_dir: str):
+    nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    target_nkeys = nat.filter(pc.equal(nat["n_name"], _Q8_NATION))["n_nationkey"]
+    target_nkey = target_nkeys[0].as_py() if len(target_nkeys) else -1
+    rkeys = reg.filter(pc.equal(reg["r_name"], _Q8_REGION))["r_regionkey"]
+    region_nkeys = pa.array(
+        nat.filter(
+            pc.is_in(nat["n_regionkey"], value_set=rkeys.combine_chunks())
+        )["n_nationkey"].to_pylist(),
+        pa.int32(),
+    )
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def pkeys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_type"], _Q8_PTYPE)).select(["p_partkey"])
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "is_target": pc.cast(
+                    pc.equal(pc.cast(t["s_nationkey"], pa.int64()), target_nkey),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "volume": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+    semi, _ = auto_semi_anti(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_partkey",
+        part.map_batches(pkeys, batch_format="pyarrow"),
+        "p_partkey",
+        nb,
+        keys_bytes=max(1, table_bytes(sf_dir, "part") // 6),  # one of six types
+        fact_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("volume", pa.float64()),
+            ]
+        ),
+        post=lambda t: t.select(["l_orderkey", "l_suppkey", "volume"]),
+    )
+
+    tagged = auto_equi_join(
+        semi,
+        "l_suppkey",
+        supp.map_batches(supp_prep, batch_format="pyarrow"),
+        "s_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("volume", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("is_target", pa.float64())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "supplier"),
+        how="inner",
+        post=lambda t: t.select(["l_orderkey", "volume", "is_target"]),
+    )
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def ckeys(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(pc.cast(t["c_nationkey"], pa.int32()), value_set=region_nkeys)
+        ).select(["c_custkey"])
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_year": pc.year(t["o_orderdate"]),
+            }
+        )
+
+    ord_side, _ = auto_semi_anti(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        "o_custkey",
+        cust.map_batches(ckeys, batch_format="pyarrow"),
+        "c_custkey",
+        nb,
+        keys_bytes=max(1, table_bytes(sf_dir, "customer") // 5),  # one of 5 regions
+        fact_schema=pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_year", pa.int64()),
+            ]
+        ),
+        post=lambda t: t.select(["o_orderkey", "o_year"]),
+    )
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        tgt = pc.multiply(t["volume"], t["is_target"])
+        g = (
+            t.append_column("tgt", tgt)
+            .group_by("o_year")
+            .aggregate([("tgt", "sum"), ("volume", "sum")])
+        )
+        return pa.table(
+            {
+                "o_year": pc.cast(g["o_year"], pa.int64()),
+                "num_part": pc.cast(g["tgt_sum"], pa.float64()),
+                "den_part": pc.cast(g["volume_sum"], pa.float64()),
+            }
+        )
+
+    joined = auto_equi_join(
+        tagged,
+        "l_orderkey",
+        ord_side,
+        "o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("volume", pa.float64()),
+                ("is_target", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+        n_buckets=nb,
+        right_bytes=max(1, table_bytes(sf_dir, "orders") // 5),
+        how="inner",
+        post=year_partial,
+    )
+    merged = joined.groupby("o_year").aggregate(
+        Sum("num_part", alias_name="num"), Sum("den_part", alias_name="den")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        share = np.round(
+            t["num"].to_numpy(zero_copy_only=False)
+            / t["den"].to_numpy(zero_copy_only=False),
+            4,
+        )
+        return pa.table(
+            {
+                "o_year": pc.cast(t["o_year"], pa.int64()),
+                "mkt_share": pa.array(share, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_PTYPE}'
+) GROUP BY o_year
+"""
+
+QUERIES["q8_market_share"] = q8_market_share
+ORACLE["q8_market_share"] = Q8_SQL

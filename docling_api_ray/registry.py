@@ -53,8 +53,6 @@ _PRIORITY = (
     "q_doc_decontaminate",   # oracle SQL regex-escape parity (ADVICE)
     "q_doc_mixture_resample",  # empty-input guards (ADVICE)
     "q_ann_topk",            # zero-copy embedding stacking (all similarity)
-    "q_ann_ivf",
-    "q_ann_lsh",
     "q_embedding_near_dup",
     "q_embedding_label_stats",
     "q_knn_label_votes",
@@ -83,6 +81,8 @@ _PRIORITY = (
     "q18_large_orders",      # HAVING-filtered key set re-joined to facts (Q18)
     "q19_brand_band_revenue",  # disjunctive join predicates, scalar reduce (Q19)
     "q16_brand_supplier_count",  # distinct-count after anti-join (Q16 shape)
+    "q11_important_parts",   # HAVING vs global-scalar fraction (Q11 shape)
+    "q8_market_share",       # market-share ratio by year, 5 dim legs (Q8)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
@@ -107,6 +107,12 @@ _PRIORITY = (
     # ---------------- below here = past the driver window ----------------
     # repeatedly-green, unchanged entries rotated out for the r04 TPC-H
     # additions (each holds green rows in CORRECTNESS_r01-r03):
+    # q_ann_ivf / q_ann_lsh: r03-green; the r04 zero-copy _stack change is
+    # hash-gated by tests/test_dedup_similarity.py at both SFs, and
+    # q_ann_topk + q_embedding_near_dup stay in-window as its
+    # driver-checked representatives.
+    "q_ann_ivf",
+    "q_ann_lsh",
     "q10_returned_items",
     "q_top_orders_per_segment",
     "q_nation_customer_stats",
