@@ -2681,3 +2681,225 @@ FROM (
 
 QUERIES["q8_market_share"] = q8_market_share
 ORACLE["q8_market_share"] = Q8_SQL
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape (nested semi-join gated by a per-key HAVING): suppliers
+# who shipped > _Q20_QTY units of SMALL parts in 1997. The part filter is
+# a key-stream semi (auto_semi_anti) whose post collapses each
+# bucket/batch to per-supplier quantity partials; the HAVING winners are
+# supplier-bounded and become the keys side of a second semi against the
+# supplier table. Two key-stream semis + one supplier-grained groupby —
+# the fact table is read once and never re-joined.
+
+_Q20_PTYPE = "SMALL"
+_Q20_QTY = 350.0
+_Q20_LO = datetime(1997, 1, 1)
+_Q20_HI = datetime(1998, 1, 1)
+
+
+def q20_heavy_suppliers(sf_dir: str):
+    part = read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def pkeys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["p_type"], _Q20_PTYPE)).select(["p_partkey"])
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(_Q20_LO)),
+            pc.less(t["l_shipdate"], pa.scalar(_Q20_HI)),
+        )
+        return t.filter(m).select(["l_partkey", "l_suppkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_suppkey").aggregate([("l_quantity", "sum")])
+        return pa.table(
+            {
+                "l_suppkey": g["l_suppkey"],
+                "q_part": pc.cast(g["l_quantity_sum"], pa.float64()),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "part"))
+    semi, _ = auto_semi_anti(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_partkey",
+        part.map_batches(pkeys, batch_format="pyarrow"),
+        "p_partkey",
+        nb,
+        keys_bytes=max(1, table_bytes(sf_dir, "part") // 6),
+        fact_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+            ]
+        ),
+        post=qty_partial,
+    )
+    winners = (
+        semi.groupby("l_suppkey")
+        .aggregate(Sum("q_part", alias_name="qty"))
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["qty"], _Q20_QTY)).select(["l_suppkey"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    out, _ = auto_semi_anti(
+        supp,
+        "s_suppkey",
+        winners,
+        "l_suppkey",
+        nb,
+        keys_bytes=max(1, table_bytes(sf_dir, "supplier") // 2),
+        fact_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+    )
+    return out
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = '{_Q20_PTYPE}'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > {_Q20_QTY})
+"""
+
+QUERIES["q20_heavy_suppliers"] = q20_heavy_suppliers
+ORACLE["q20_heavy_suppliers"] = Q20_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (sole-late-supplier on multi-supplier orders): per
+# supplier, how many of its late lines (shipped > 60 days after the order
+# date) belong to orders where it was the ONLY late supplier among ≥2
+# suppliers. The EXISTS / NOT EXISTS pair is per-orderkey set logic, so
+# it resolves inside ONE key_bucketed shuffle on l_orderkey (all lines of
+# an order land in the same bucket; nunique / late-set tests vectorize in
+# pandas per bucket). The late flag is computed at join time in integer
+# epoch arithmetic (datetime parity rule). Supplier names attach to the
+# supplier-grained partials via auto_equi_join, and the final name
+# rollup moves only (name, count) pairs.
+
+_Q21_LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
+
+
+def q21_sole_late_supplier(sf_dir: str):
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    def tag_late(t: pa.Table) -> pa.Table:
+        late = pc.greater(t["ship_us"], pc.add(t["ord_us"], _Q21_LATE_US))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "late": late,
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+    tagged = auto_equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_orderkey",
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("ship_us", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("ord_us", pa.int64())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "orders"),
+        how="inner",
+        post=tag_late,
+    )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["late"]]
+        if lg.empty:
+            return pd.DataFrame(
+                {"l_suppkey": pd.Series([], dtype="int64"), "n_part": pd.Series([], dtype="int64")}
+            )
+        nsup = g.groupby("l_orderkey")["l_suppkey"].transform("nunique")
+        lsup = lg.groupby("l_orderkey")["l_suppkey"].transform("nunique")
+        q = lg[(lsup.values == 1) & (nsup.loc[lg.index].values > 1)]
+        out = q.groupby("l_suppkey").size()
+        return pd.DataFrame(
+            {
+                "l_suppkey": out.index.to_numpy().astype("int64"),
+                "n_part": out.to_numpy().astype("int64"),
+            }
+        )
+
+    partials = key_bucketed(tagged, "l_orderkey", per_order)
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    named = auto_equi_join(
+        partials,
+        "l_suppkey",
+        supp,
+        "s_suppkey",
+        left_schema=pa.schema([("l_suppkey", pa.int64()), ("n_part", pa.int64())]),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "supplier"),
+        how="inner",
+        post=lambda t: t.select(["s_name", "n_part"]),
+    )
+    merged = named.groupby("s_name").aggregate(Sum("n_part", alias_name="numwait"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"s_name": t["s_name"], "numwait": pc.cast(t["numwait"], pa.int64())}
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+QUERIES["q21_sole_late_supplier"] = q21_sole_late_supplier
+ORACLE["q21_sole_late_supplier"] = Q21_SQL

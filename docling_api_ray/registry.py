@@ -54,8 +54,6 @@ _PRIORITY = (
     "q_doc_mixture_resample",  # empty-input guards (ADVICE)
     "q_ann_topk",            # zero-copy embedding stacking (all similarity)
     "q_embedding_near_dup",
-    "q_embedding_label_stats",
-    "q_knn_label_votes",
     "q_embedding_clusters",
     "q_full_outer_status",   # string-key joins: hash_bucket_col vectorized
     # --- new in r04
@@ -83,6 +81,8 @@ _PRIORITY = (
     "q16_brand_supplier_count",  # distinct-count after anti-join (Q16 shape)
     "q11_important_parts",   # HAVING vs global-scalar fraction (Q11 shape)
     "q8_market_share",       # market-share ratio by year, 5 dim legs (Q8)
+    "q20_heavy_suppliers",   # nested semi gated by per-key HAVING (Q20)
+    "q21_sole_late_supplier",  # per-order EXISTS/NOT-EXISTS set logic (Q21)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
@@ -113,6 +113,11 @@ _PRIORITY = (
     # driver-checked representatives.
     "q_ann_ivf",
     "q_ann_lsh",
+    # q_embedding_label_stats / q_knn_label_votes: same rationale — r03
+    # hash-green, r04 change is the shared zero-copy _stack kernel already
+    # represented in-window by q_ann_topk + q_embedding_near_dup.
+    "q_embedding_label_stats",
+    "q_knn_label_votes",
     "q10_returned_items",
     "q_top_orders_per_segment",
     "q_nation_customer_stats",
