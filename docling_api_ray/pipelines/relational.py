@@ -2903,3 +2903,304 @@ GROUP BY s_name
 
 QUERIES["q21_sole_late_supplier"] = q21_sole_late_supplier
 ORACLE["q21_sole_late_supplier"] = Q21_SQL
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (per-key argmin + join back): for each part in a size
+# band, the supplier(s) offering the lowest observed price. The size
+# filter semi-joins the fact FIRST (key stream, auto_semi_anti), the
+# per-(part,supplier) min is a pair-keyed groupby fed by in-bucket Min
+# partials, and the correlated `price = (SELECT min … WHERE same part)`
+# resolves inside ONE key_bucketed shuffle on l_partkey (transform-min,
+# no arithmetic → float-exact equality on both engines; ties keep all
+# winners on both sides). Adaptation note: no partsupp table — lineitem
+# prices serve as the supply offers.
+
+_Q2_SIZE_LO, _Q2_SIZE_HI = 20, 25
+
+
+def q2_min_price_supplier(sf_dir: str):
+    part = read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def pkeys(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["p_size"], _Q2_SIZE_LO),
+            pc.less_equal(t["p_size"], _Q2_SIZE_HI),
+        )
+        return t.filter(m).select(["p_partkey"])
+
+    li = read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([("l_extendedprice", "min")])
+        return pa.table(
+            {
+                "l_partkey": g["l_partkey"],
+                "l_suppkey": g["l_suppkey"],
+                "p_part": pc.cast(g["l_extendedprice_min"], pa.float64()),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "part"))
+    semi, _ = auto_semi_anti(
+        li,
+        "l_partkey",
+        part.map_batches(pkeys, batch_format="pyarrow"),
+        "p_partkey",
+        nb,
+        keys_bytes=max(1, table_bytes(sf_dir, "part") // 8),
+        fact_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_extendedprice", pa.float64()),
+            ]
+        ),
+        post=min_partial,
+    )
+    ps = semi.groupby(["l_partkey", "l_suppkey"]).aggregate(
+        Min("p_part", alias_name="price")
+    )
+
+    def argmin_per_part(g: pd.DataFrame) -> pd.DataFrame:
+        best = g.groupby("l_partkey")["price"].transform("min")
+        return g[g["price"].values == best.values][["l_partkey", "l_suppkey", "price"]]
+
+    winners = key_bucketed(ps, "l_partkey", argmin_per_part)
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"],
+                "s_suppkey": t["l_suppkey"],
+                "s_name": t["s_name"],
+                "price": t["price"],
+            }
+        )
+
+    return auto_equi_join(
+        winners,
+        "l_suppkey",
+        supp,
+        "s_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("price", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("s_name", pa.string())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "supplier"),
+        how="inner",
+        post=fin,
+    )
+
+
+Q2_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS price
+  FROM lineitem GROUP BY 1, 2)
+SELECT p_partkey, s_suppkey, s_name, price
+FROM ps
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
+  AND price = (SELECT min(price) FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey)
+"""
+
+QUERIES["q2_min_price_supplier"] = q2_min_price_supplier
+ORACLE["q2_min_price_supplier"] = Q2_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape (profit by nation × year across every dimension): line
+# profit (revenue − 0.8 × retail cost) for name-matched parts, rolled up
+# by supplier nation and order year. Part (LIKE-filtered, carrying
+# retailprice) and supplier (carrying the nation tag via the tiny
+# broadcast nation map) ride auto_equi_join; the only fact-fact exchange
+# is the orders-year attach; every join's post shrinks rows to partials
+# or narrow payloads before the next hop. The profit expression uses the
+# same operation order as the SQL text so per-row values are bit-equal;
+# only the final sums differ in ordering, absorbed by round-2.
+# Adaptation note: 0.8 × p_retailprice stands in for ps_supplycost.
+
+_Q9_NEEDLE = "widget"
+
+
+def q9_nation_profit(sf_dir: str):
+    nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nkeys = pa.array(nat["n_nationkey"].to_pylist(), pa.int32())
+    nnames = nat["n_name"].combine_chunks()
+
+    part = read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def part_prep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t["p_name"], _Q9_NEEDLE)).select(
+            ["p_partkey", "p_retailprice"]
+        )
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t["s_nationkey"], pa.int32()), value_set=nkeys)
+        return pa.table(
+            {"s_suppkey": t["s_suppkey"], "nation": pc.take(nnames, idx)}
+        )
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "l_quantity": t["l_quantity"],
+                "rev": pc.multiply(
+                    t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                ),
+            }
+        )
+
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
+
+    def amount_post(t: pa.Table) -> pa.Table:
+        # rev has ≤4 decimal digits (2dp price × 2dp discount) and cost ≤3
+        # (0.8 × 2dp retail × integer qty), so the amount is an exact
+        # multiple of 1e-4: carry it as integer ten-thousandths and the
+        # sum is EXACT — immune to the .xx5 straddle where two engines'
+        # float sums round apart (CLAUDE.md rounding-parity rule). The
+        # double→int recovery is safe: fp error ~1e-11 ≪ 0.5e-4.
+        cost = pc.multiply(pc.multiply(0.8, t["p_retailprice"]), t["l_quantity"])
+        amt = pc.subtract(t["rev"], cost).to_numpy(zero_copy_only=False)
+        amt_e4 = np.round(amt * 1e4).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "amount_e4": pa.array(amt_e4, pa.int64()),
+            }
+        )
+
+    j1 = auto_equi_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        "l_partkey",
+        part.map_batches(part_prep, batch_format="pyarrow"),
+        "p_partkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("rev", pa.float64()),
+            ]
+        ),
+        right_schema=pa.schema(
+            [("p_partkey", pa.int64()), ("p_retailprice", pa.float64())]
+        ),
+        n_buckets=nb,
+        right_bytes=max(1, table_bytes(sf_dir, "part") // 3),
+        how="inner",
+        post=amount_post,
+    )
+
+    j2 = auto_equi_join(
+        j1,
+        "l_suppkey",
+        supp.map_batches(supp_prep, batch_format="pyarrow"),
+        "s_suppkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("amount_e4", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("s_suppkey", pa.int64()), ("nation", pa.string())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "supplier"),
+        how="inner",
+        post=lambda t: t.select(["l_orderkey", "nation", "amount_e4"]),
+    )
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_year": pc.year(t["o_orderdate"])}
+        )
+
+    def profit_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["nation", "o_year"]).aggregate([("amount_e4", "sum")])
+        return pa.table(
+            {
+                "nation": g["nation"],
+                "o_year": pc.cast(g["o_year"], pa.int64()),
+                "p_part": pc.cast(g["amount_e4_sum"], pa.int64()),
+            }
+        )
+
+    joined = auto_equi_join(
+        j2,
+        "l_orderkey",
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        "o_orderkey",
+        left_schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("nation", pa.string()),
+                ("amount_e4", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("o_year", pa.int64())]),
+        n_buckets=nb,
+        right_bytes=table_bytes(sf_dir, "orders"),
+        how="inner",
+        post=profit_partial,
+    )
+    merged = joined.groupby(["nation", "o_year"]).aggregate(
+        Sum("p_part", alias_name="profit_e4")
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        # integer round-half-away-from-zero: e4 → 2dp, matching SQL round
+        s = t["profit_e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.where(s >= 0, (s + 50) // 100, -((-s + 50) // 100))
+        return pa.table(
+            {
+                "nation": t["nation"],
+                "o_year": pc.cast(t["o_year"], pa.int64()),
+                "sum_profit": pa.array(q / 100.0, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(fin, batch_format="pyarrow")
+
+
+Q9_SQL = f"""
+SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount)
+           - 0.8 * p_retailprice * l_quantity AS DECIMAL(38, 4)) AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%{_Q9_NEEDLE}%'
+) GROUP BY nation, o_year
+"""
+
+QUERIES["q9_nation_profit"] = q9_nation_profit
+ORACLE["q9_nation_profit"] = Q9_SQL

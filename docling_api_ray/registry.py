@@ -54,8 +54,6 @@ _PRIORITY = (
     "q_doc_mixture_resample",  # empty-input guards (ADVICE)
     "q_ann_topk",            # zero-copy embedding stacking (all similarity)
     "q_embedding_near_dup",
-    "q_embedding_clusters",
-    "q_full_outer_status",   # string-key joins: hash_bucket_col vectorized
     # --- new in r04
     "q_extract_xlsx",        # xlsx_xml format (OOXML family complete)
     "q_events_range_join",   # non-equi interval join (time-bucketed)
@@ -83,6 +81,8 @@ _PRIORITY = (
     "q8_market_share",       # market-share ratio by year, 5 dim legs (Q8)
     "q20_heavy_suppliers",   # nested semi gated by per-key HAVING (Q20)
     "q21_sole_late_supplier",  # per-order EXISTS/NOT-EXISTS set logic (Q21)
+    "q2_min_price_supplier", # per-key argmin + join back (Q2 shape)
+    "q9_nation_profit",      # nation x year profit, exact e4-integer sums (Q9)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
@@ -118,6 +118,11 @@ _PRIORITY = (
     # represented in-window by q_ann_topk + q_embedding_near_dup.
     "q_embedding_label_stats",
     "q_knn_label_votes",
+    # q_embedding_clusters (rows-only r03) same zero-copy rationale;
+    # q_full_outer_status r03-green — the r04 hash_bucket_col change is
+    # gated by the identical-bucket-assignment test in tests/test_join.py.
+    "q_embedding_clusters",
+    "q_full_outer_status",
     "q10_returned_items",
     "q_top_orders_per_segment",
     "q_nation_customer_stats",
