@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "q_doc_trimmed_stats",
     "q_orders_percent_rank",
     "q_extract_xlsx",
+    # round-4 TPC-H family additions (structurally distinct shapes)
+    "q13_count_distribution",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q21_sole_late_supplier",
 ]
 
 
