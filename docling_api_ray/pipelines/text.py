@@ -2587,3 +2587,122 @@ def q_doc_neardup_keep(sf_dir: str):
 
 
 QUERIES["q_doc_neardup_keep"] = q_doc_neardup_keep
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring against a fixed query-term set (the IR relevance function
+# used to mine/filter training corpora at scale). Zero-shuffle two-pass
+# design: pass 1 tokenizes once (`_word_tokens` byte-scan kernel) and
+# materializes a NARROW per-doc table (doc_id, dl, tf_i, has_i — a few
+# ints per doc, ~1e-4 of the input bytes at 100 TB); the corpus stats
+# (N, Σdl, df_t) are ONE scalar Dataset.aggregate over it; pass 2 streams
+# the same narrow table through the scoring formula. The formula mirrors
+# the oracle SQL's operand order exactly, so per-row values differ only
+# in the libm ln ulp (absorbed by round-4 — same contract q_doc_tfidf
+# has shipped green since r01). Generalizes the reference's relevance
+# surface (SURVEY §2: document search/rank is driver-side in the
+# reference; here it is a distributed operator).
+
+BM25_TERMS = ("join", "scan", "window", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_doc_bm25(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    k = len(BM25_TERMS)
+
+    def prep(t: pa.Table) -> pa.Table:
+        flat, lens = _word_tokens(t["text"])
+        n = len(t)
+        docidx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cols = {
+            "doc_id": t["doc_id"],
+            "dl": pa.array(lens, pa.int64()),
+        }
+        toks = flat.to_numpy(zero_copy_only=False) if len(flat) else np.array([], dtype=object)
+        for i, term in enumerate(BM25_TERMS):
+            if len(toks):
+                m = toks == term
+                tf = np.bincount(docidx[m], minlength=n).astype(np.int64)
+            else:
+                tf = np.zeros(n, dtype=np.int64)
+            cols[f"tf_{i}"] = pa.array(tf, pa.int64())
+            cols[f"has_{i}"] = pa.array((tf > 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    aggs = [Count(alias_name="n"), Sum("dl", alias_name="sumdl")]
+    aggs += [Sum(f"has_{i}", alias_name=f"df_{i}") for i in range(k)]
+    d = narrow.aggregate(*aggs)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "bm25": pa.array([], pa.float64()),
+        }
+    )
+    if not d or not d.get("n"):
+        return empty
+    n = float(d["n"])
+    avgdl = float(d["sumdl"]) / n  # SQL: stats.sumdl / stats.n
+    dfs = [float(d[f"df_{i}"]) for i in range(k)]
+
+    def score(t: pa.Table) -> pa.Table:
+        outs = []
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for i, term in enumerate(BM25_TERMS):
+            tf = t[f"tf_{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            m = tf > 0
+            if not m.any():
+                continue
+            # operand order mirrors the oracle SQL exactly
+            idf = np.log((n - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
+            frac = tf[m] * (_BM25_K1 + 1.0) / (
+                tf[m] + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * dl[m] / avgdl)
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[m], pa.int64()),
+                        "term": pa.array([term] * int(m.sum()), pa.string()),
+                        "bm25": pa.array(np.round(idf * frac, 4), pa.float64()),
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pa.concat_tables(outs)
+
+    return narrow.map_batches(score, batch_format="pyarrow")
+
+
+_bm25_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+BM25_SQL = rf"""
+WITH dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\w+')) AS dl
+  FROM documents),
+tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+        FROM documents)
+  WHERE t IN ({_bm25_in})
+  GROUP BY doc_id, t),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(sum(dl) AS DOUBLE) AS sumdl, CAST(count(*) AS DOUBLE) AS n
+          FROM dl)
+SELECT tf.doc_id, tf.term,
+       round(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+             * (tf.tf * ({_BM25_K1} + 1.0)
+                / (tf.tf + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * dl.dl
+                                         / (stats.sumdl / stats.n)))), 4) AS bm25
+FROM tf
+JOIN dl USING (doc_id)
+JOIN dfreq USING (term)
+CROSS JOIN stats
+"""
+
+QUERIES["q_doc_bm25"] = q_doc_bm25
+ORACLE["q_doc_bm25"] = BM25_SQL

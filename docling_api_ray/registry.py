@@ -83,10 +83,10 @@ _PRIORITY = (
     "q21_sole_late_supplier",  # per-order EXISTS/NOT-EXISTS set logic (Q21)
     "q2_min_price_supplier", # per-key argmin + join back (Q2 shape)
     "q9_nation_profit",      # nation x year profit, exact e4-integer sums (Q9)
+    "q_doc_bm25",            # BM25 relevance vs fixed query terms, zero-shuffle
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
     "q_extract_ooxml",
-    "q_extract_kind_stats",
     "q_extract_credits",
     "q_extract_usage_summary",
     # --- stable representatives filling the window to DRIVER_WINDOW
@@ -123,6 +123,10 @@ _PRIORITY = (
     # gated by the identical-bucket-assignment test in tests/test_join.py.
     "q_embedding_clusters",
     "q_full_outer_status",
+    # q_extract_kind_stats: rows-only r03 row, unchanged dispatch logic;
+    # the extraction family keeps 4 in-window entries incl. both
+    # hash-checked dynamic-oracle ones (credits, usage_summary).
+    "q_extract_kind_stats",
     "q10_returned_items",
     "q_top_orders_per_segment",
     "q_nation_customer_stats",
