@@ -2706,3 +2706,64 @@ CROSS JOIN stats
 
 QUERIES["q_doc_bm25"] = q_doc_bm25
 ORACLE["q_doc_bm25"] = BM25_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-document token-distribution entropy (Shannon, natural log) — the
+# diversity/degeneracy signal used alongside Gopher repetition rules for
+# corpus filtering. Zero shuffle: each batch resolves (doc, term) tf via
+# the dictionary-encode + combined-key np.unique kernel (same as
+# q_doc_repetition), converts to p·ln(p) contributions, and bincounts
+# them back to doc grain. Docs with zero tokens are excluded (SQL: no tf
+# rows survive the join). Cross-term sum order differs between engines
+# by design (~1e-16 relative); round-4 absorbs it, as with q_doc_tfidf.
+
+
+def q_doc_entropy(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        flat, lens = _word_tokens(t["text"])
+        n = len(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "entropy": pa.array([], pa.float64()),
+                }
+            )
+        docidx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False)
+        k = int(codes.max()) + 1
+        pair = docidx * k + codes
+        uniq, tf = np.unique(pair, return_counts=True)
+        pdoc = uniq // k
+        p = tf.astype(np.float64) / lens[pdoc].astype(np.float64)
+        contrib = p * np.log(p)
+        h = -np.bincount(pdoc, weights=contrib, minlength=n)
+        m = lens > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m], pa.int64()),
+                "entropy": pa.array(np.round(h[m], 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS t
+  FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT tf.doc_id,
+       round(-sum(tf * 1.0 / dl * ln(tf * 1.0 / dl)), 4) AS entropy
+FROM tf JOIN dl USING (doc_id)
+GROUP BY tf.doc_id
+"""
+
+QUERIES["q_doc_entropy"] = q_doc_entropy
+ORACLE["q_doc_entropy"] = ENTROPY_SQL

@@ -84,9 +84,9 @@ _PRIORITY = (
     "q2_min_price_supplier", # per-key argmin + join back (Q2 shape)
     "q9_nation_profit",      # nation x year profit, exact e4-integer sums (Q9)
     "q_doc_bm25",            # BM25 relevance vs fixed query terms, zero-shuffle
+    "q_doc_entropy",         # per-doc token-distribution entropy (zero shuffle)
     # --- extraction family (DuckDB-oracle upgrade attempted in r04)
     "q_extract_documents",
-    "q_extract_ooxml",
     "q_extract_credits",
     "q_extract_usage_summary",
     # --- stable representatives filling the window to DRIVER_WINDOW
@@ -123,6 +123,10 @@ _PRIORITY = (
     # gated by the identical-bucket-assignment test in tests/test_join.py.
     "q_embedding_clusters",
     "q_full_outer_status",
+    # q_extract_ooxml: rows-only r03 row; DOCX/PPTX span parity is gated
+    # by pytest span-equality + fuzz, and q_extract_xlsx (r04-new, same
+    # OOXML seam) remains in-window.
+    "q_extract_ooxml",
     # q_extract_kind_stats: rows-only r03 row, unchanged dispatch logic;
     # the extraction family keeps 4 in-window entries incl. both
     # hash-checked dynamic-oracle ones (credits, usage_summary).
