@@ -2620,10 +2620,10 @@ def q_doc_bm25(sf_dir: str):
             "doc_id": t["doc_id"],
             "dl": pa.array(lens, pa.int64()),
         }
-        toks = flat.to_numpy(zero_copy_only=False) if len(flat) else np.array([], dtype=object)
         for i, term in enumerate(BM25_TERMS):
-            if len(toks):
-                m = toks == term
+            if len(flat):
+                # Arrow kernel compare (no per-token Python objects)
+                m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
                 tf = np.bincount(docidx[m], minlength=n).astype(np.int64)
             else:
                 tf = np.zeros(n, dtype=np.int64)
