@@ -55,3 +55,26 @@ def test_auto_semi_anti_modes_agree():
                 ds.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
             )
         assert results["broadcast"].equals(results["bucketed"]), anti
+
+
+# --- r04 second half: the TPC-H additions run broadcast at test SF; these
+# pin the threshold to 0 so every auto_equi_join / auto_semi_anti leg in
+# them takes the BUCKETED (100 TB) path, re-checked against the oracles.
+
+_R04_BUCKETED = [
+    ("q7_bucketed", "q7_nation_volume", "Q7_SQL"),
+    ("q13_bucketed", "q13_count_distribution", "Q13_SQL"),
+    ("q18_bucketed", "q18_large_orders", "Q18_SQL"),
+    ("q8_bucketed", "q8_market_share", "Q8_SQL"),
+    ("q9_bucketed", "q9_nation_profit", "Q9_SQL"),
+    ("q21_bucketed", "q21_sole_late_supplier", "Q21_SQL"),
+    ("q16_bucketed", "q16_brand_supplier_count", "Q16_SQL"),
+    ("q20_bucketed", "q20_heavy_suppliers", "Q20_SQL"),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name,qfn,sql", _R04_BUCKETED, ids=[r[0] for r in _R04_BUCKETED])
+def test_r04_bucketed_paths(force_bucketed, name, qfn, sql):
+    got = to_pandas(getattr(relational, qfn)(SF_DIR))
+    compare(name, got, duck(SF_DIR, getattr(relational, sql)))
