@@ -38,6 +38,7 @@ from .join import (
     bucketed_except_keys,
     bucketed_semi_anti,
     table_bytes,
+    table_rows,
 )
 from .util import agg_to_table, broadcast, key_bucketed, read, read_small, round_col
 
@@ -1758,6 +1759,7 @@ _Q7_HI = datetime(1998, 1, 1)
 
 def q7_nation_volume(sf_dir: str):
     nat = read_small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    n_nat = max(1, nat.num_rows)
     m = pc.is_in(nat["n_name"], value_set=pa.array(_Q7_NATIONS))
     nat = nat.filter(m)
     nkeys = pa.array(nat["n_nationkey"].to_pylist(), pa.int32())
@@ -1807,7 +1809,6 @@ def q7_nation_volume(sf_dir: str):
             }
         )
 
-    n_nat = max(1, len(read_small(sf_dir, "nation", columns=["n_nationkey"])))
     sel_frac_num, sel_frac_den = len(_Q7_NATIONS), n_nat
     nb = adaptive_n_buckets(table_bytes(sf_dir, "lineitem", "orders"))
 
@@ -2082,7 +2083,7 @@ def q13_count_distribution(sf_dir: str):
     rows = hist.take_all()  # ≤ max-orders-per-customer rows
     ks = [int(r["c_count"]) for r in rows]
     vs = [int(r["custdist"]) for r in rows]
-    total = read(sf_dir, "customer", columns=["c_custkey"]).count()
+    total = table_rows(sf_dir, "customer")  # parquet footer — no data scan
     zero = total - sum(vs)
     if zero > 0:
         ks.append(0)
@@ -2423,20 +2424,28 @@ def q11_important_parts(sf_dir: str):
     li = read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_quantity"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # price is 2dp-exact and quantity integer-valued, so the value is
+        # an exact multiple of 0.01: carry int64 hundredths so the sums
+        # are EXACT — both engines then derive the SAME double threshold
+        # and the HAVING comparison cannot straddle (the float version
+        # compared differently-associated sums; CLAUDE.md ulp rule)
+        v = pc.multiply(t["l_extendedprice"], t["l_quantity"]).to_numpy(
+            zero_copy_only=False
+        )
         return pa.table(
             {
                 "l_partkey": t["l_partkey"],
-                "v": pc.multiply(t["l_extendedprice"], t["l_quantity"]),
+                "v_e2": pa.array(np.round(v * 100.0).astype(np.int64), pa.int64()),
             }
         )
 
     grouped = (
         li.map_batches(prep, batch_format="pyarrow")
         .groupby("l_partkey")
-        .aggregate(Sum("v", alias_name="value"))
+        .aggregate(Sum("v_e2", alias_name="value_e2"))
         .materialize()  # |parts| rows, reused by total + count + filter
     )
-    d = grouped.aggregate(Sum("value", alias_name="s"), Count(alias_name="n"))
+    d = grouped.aggregate(Sum("value_e2", alias_name="s"), Count(alias_name="n"))
     empty = pa.table(
         {
             "l_partkey": pa.array([], pa.int64()),
@@ -2445,22 +2454,35 @@ def q11_important_parts(sf_dir: str):
     )
     if not d or not d.get("n"):
         return empty
-    thr = 1.2 * d["s"] / d["n"]
+    # same op order as the SQL: 1.2 * CAST(total AS DOUBLE) / n
+    thr = 1.2 * (float(d["s"]) / 100.0) / float(d["n"])
 
     def keep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["value"], thr))
-        return round_col(t.select(["l_partkey", "value"]), "value", 2)
+        v = t["value_e2"].to_numpy(zero_copy_only=False).astype(np.float64) / 100.0
+        m = v > thr
+        return pa.table(
+            {
+                "l_partkey": pa.array(
+                    t["l_partkey"].to_numpy(zero_copy_only=False)[m], pa.int64()
+                ),
+                "value": pa.array(v[m], pa.float64()),
+            }
+        )
 
     return grouped.map_batches(keep, batch_format="pyarrow")
 
 
 Q11_SQL = """
-SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+SELECT l_partkey,
+       CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38, 2)))
+            AS DOUBLE) AS value
 FROM lineitem
 GROUP BY l_partkey
-HAVING sum(l_extendedprice * l_quantity) >
-       (SELECT 1.2 * sum(l_extendedprice * l_quantity) / count(DISTINCT l_partkey)
-        FROM lineitem)
+HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38, 2))) AS DOUBLE) >
+       1.2 * (SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38, 2)))
+                          AS DOUBLE)
+              FROM lineitem)
+           / (SELECT count(DISTINCT l_partkey) FROM lineitem)
 """
 
 QUERIES["q11_important_parts"] = q11_important_parts
@@ -2860,7 +2882,9 @@ def q21_sole_late_supplier(sf_dir: str):
             }
         )
 
-    partials = key_bucketed(tagged, "l_orderkey", per_order)
+    # adaptive bucket count: the tagged stream is fact-grain, so the
+    # per-bucket pandas frame must shrink as the input grows
+    partials = key_bucketed(tagged, "l_orderkey", per_order, n_buckets=nb)
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     named = auto_equi_join(
@@ -2965,7 +2989,7 @@ def q2_min_price_supplier(sf_dir: str):
         best = g.groupby("l_partkey")["price"].transform("min")
         return g[g["price"].values == best.values][["l_partkey", "l_suppkey", "price"]]
 
-    winners = key_bucketed(ps, "l_partkey", argmin_per_part)
+    winners = key_bucketed(ps, "l_partkey", argmin_per_part, n_buckets=nb)
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
 

@@ -89,11 +89,21 @@ _PRIORITY = (
     "q_extract_documents",
     "q_extract_credits",
     "q_extract_usage_summary",
-    # --- stable representatives filling the window to DRIVER_WINDOW
+    # ---------------- below here = past the driver window ----------------
+    # (the 50 entries above are exactly: 7 never-evaluated + the
+    # changed-in-r04 block + every r04-new operator + the extraction
+    # family's flagship and its two hash-checked dynamic oracles)
+    #
+    # Former stable representatives, displaced by the r04 second-half
+    # additions — each holds green rows in CORRECTNESS_r01-r03 and is
+    # pytest-gated at both SFs. The two r03 bench-tail entries
+    # (quantiles, running_total) were re-attributed to host noise by the
+    # paired re-measure recorded in BASELINE.md, so fresh driver rows
+    # for them are no longer load-bearing.
     "q1_pricing_summary",
     "q6_revenue_filter",
-    "q_lineitem_quantiles",     # r03 bench-tail anomaly: keep evidenced
-    "q_orders_running_total",   # r03 bench-tail anomaly: keep evidenced
+    "q_lineitem_quantiles",
+    "q_orders_running_total",
     "q_doc_exact_dedup",
     "q_doc_minhash_pairs",
     "q_media_features",
@@ -104,7 +114,6 @@ _PRIORITY = (
     "q_events_sessionize",
     "q_cust_order_counts",
     "q_top_customers",
-    # ---------------- below here = past the driver window ----------------
     # repeatedly-green, unchanged entries rotated out for the r04 TPC-H
     # additions (each holds green rows in CORRECTNESS_r01-r03):
     # q_ann_ivf / q_ann_lsh: r03-green; the r04 zero-copy _stack change is

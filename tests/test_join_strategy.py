@@ -57,9 +57,10 @@ def test_auto_semi_anti_modes_agree():
         assert results["broadcast"].equals(results["bucketed"]), anti
 
 
-# --- r04 second half: the TPC-H additions run broadcast at test SF; these
-# pin the threshold to 0 so every auto_equi_join / auto_semi_anti leg in
-# them takes the BUCKETED (100 TB) path, re-checked against the oracles.
+# --- r04 second half: the ten join-bearing TPC-H additions run broadcast
+# at test SF; these pin the threshold to 0 so every auto_equi_join /
+# auto_semi_anti leg in them takes the BUCKETED (100 TB) path,
+# re-checked against the oracles.
 
 _R04_BUCKETED = [
     ("q7_bucketed", "q7_nation_volume", "Q7_SQL"),
@@ -70,6 +71,8 @@ _R04_BUCKETED = [
     ("q21_bucketed", "q21_sole_late_supplier", "Q21_SQL"),
     ("q16_bucketed", "q16_brand_supplier_count", "Q16_SQL"),
     ("q20_bucketed", "q20_heavy_suppliers", "Q20_SQL"),
+    ("q19_bucketed", "q19_brand_band_revenue", "Q19_SQL"),
+    ("q2_bucketed", "q2_min_price_supplier", "Q2_SQL"),
 ]
 
 
