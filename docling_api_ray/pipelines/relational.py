@@ -2814,6 +2814,28 @@ ORACLE["q20_heavy_suppliers"] = Q20_SQL
 _Q21_LATE_US = 60 * 86_400_000_000  # 60 days in microseconds
 
 
+def q21_per_order(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket Q21 set logic (module-level for direct property tests):
+    for every late line, keep it iff its order has ≥2 distinct suppliers
+    and exactly one distinct LATE supplier; emit per-supplier counts.
+    Vectorized across all orders of the bucket (transform-nunique)."""
+    lg = g[g["late"]]
+    if lg.empty:
+        return pd.DataFrame(
+            {"l_suppkey": pd.Series([], dtype="int64"), "n_part": pd.Series([], dtype="int64")}
+        )
+    nsup = g.groupby("l_orderkey")["l_suppkey"].transform("nunique")
+    lsup = lg.groupby("l_orderkey")["l_suppkey"].transform("nunique")
+    q = lg[(lsup.values == 1) & (nsup.loc[lg.index].values > 1)]
+    out = q.groupby("l_suppkey").size()
+    return pd.DataFrame(
+        {
+            "l_suppkey": out.index.to_numpy().astype("int64"),
+            "n_part": out.to_numpy().astype("int64"),
+        }
+    )
+
+
 def q21_sole_late_supplier(sf_dir: str):
     li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
@@ -2865,26 +2887,9 @@ def q21_sole_late_supplier(sf_dir: str):
         post=tag_late,
     )
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["late"]]
-        if lg.empty:
-            return pd.DataFrame(
-                {"l_suppkey": pd.Series([], dtype="int64"), "n_part": pd.Series([], dtype="int64")}
-            )
-        nsup = g.groupby("l_orderkey")["l_suppkey"].transform("nunique")
-        lsup = lg.groupby("l_orderkey")["l_suppkey"].transform("nunique")
-        q = lg[(lsup.values == 1) & (nsup.loc[lg.index].values > 1)]
-        out = q.groupby("l_suppkey").size()
-        return pd.DataFrame(
-            {
-                "l_suppkey": out.index.to_numpy().astype("int64"),
-                "n_part": out.to_numpy().astype("int64"),
-            }
-        )
-
     # adaptive bucket count: the tagged stream is fact-grain, so the
     # per-bucket pandas frame must shrink as the input grows
-    partials = key_bucketed(tagged, "l_orderkey", per_order, n_buckets=nb)
+    partials = key_bucketed(tagged, "l_orderkey", q21_per_order, n_buckets=nb)
 
     supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
     named = auto_equi_join(

@@ -405,3 +405,39 @@ def test_band_join_agg_equi_and_range():
     assert out.loc[102, "n"] == 2 and out.loc[102, "val_sum"] == 24.0 # all k=2
     assert out.loc[103, "n"] == 0                                     # past range
     assert out.loc[104, "n"] == 0                                     # key absent
+
+
+def test_q21_per_order_vs_bruteforce():
+    """Property test: the vectorized Q21 per-bucket kernel must agree with
+    an obvious per-order Python reference on randomized order/supplier/
+    late patterns (many orders, duplicate lines, single-supplier orders,
+    all-late and no-late orders)."""
+    import numpy as np
+    import pandas as pd
+
+    from docling_api_ray.pipelines.relational import q21_per_order
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n_orders = int(rng.integers(1, 40))
+        rows = []
+        for o in range(n_orders):
+            n_lines = int(rng.integers(1, 8))
+            for _ in range(n_lines):
+                rows.append(
+                    (o, int(rng.integers(1, 6)), bool(rng.random() < 0.35))
+                )
+        g = pd.DataFrame(rows, columns=["l_orderkey", "l_suppkey", "late"])
+
+        # brute force: per order, late lines of the unique late supplier
+        # when the order has >=2 distinct suppliers
+        expect: dict[int, int] = {}
+        for o, grp in g.groupby("l_orderkey"):
+            late_sups = set(grp.loc[grp["late"], "l_suppkey"])
+            if len(late_sups) == 1 and grp["l_suppkey"].nunique() > 1:
+                (s,) = late_sups
+                expect[s] = expect.get(s, 0) + int(grp["late"].sum())
+
+        got = q21_per_order(g)
+        got_map = dict(zip(got["l_suppkey"], got["n_part"]))
+        assert got_map == expect, (trial, got_map, expect)
