@@ -275,10 +275,16 @@ QUERIES = {
 # end-to-end via read_parquet over the corpus directory (VERDICT r03 #10).
 ORACLE: dict[str, str] = {}
 
-_KNOWN_KINDS_SQL = (
-    "'html','pdf_text','pdf_table','image','page_break',"
-    "'docx_xml','pptx_xml','xlsx_xml'"
-)
+def _known_kinds_sql() -> str:
+    """Known span kinds, derived from the SAME sources the engine's
+    validate_doc consults (schema.INPUT_KINDS + the live format
+    registry) at oracle-generation time — a future register_format()
+    cannot desynchronize the SQL admission oracle from the engine."""
+    from ..schema import INPUT_KINDS
+    from ..stages.extract import _FORMAT_HANDLERS
+
+    kinds = sorted(set(INPUT_KINDS) | set(_FORMAT_HANDLERS))
+    return ",".join(f"'{k}'" for k in kinds)
 
 # the driver evaluates oracles at sf0.01; tests override via GRAFT_TEST_SF
 _ORACLE_SF = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.01")
@@ -296,7 +302,7 @@ docs AS (
   SELECT doc_id,
          CAST(sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END) AS BIGINT) AS n_pb,
          CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-         max(CASE WHEN kind NOT IN ({_KNOWN_KINDS_SQL}) THEN 1 ELSE 0 END) AS bad
+         max(CASE WHEN kind NOT IN ({_known_kinds_sql()}) THEN 1 ELSE 0 END) AS bad
   FROM per_span GROUP BY doc_id
 ), verdict AS (
   SELECT d.doc_id,
@@ -320,7 +326,10 @@ def dynamic_oracles() -> dict[str, str]:
     """Oracle SQL whose text embeds the deterministic corpus path —
     generated (and the corpus materialized) at oracle_sql() time, not at
     import. Returns {} if corpus synthesis is unavailable."""
-    path = corpus_for(_ORACLE_SF)
+    try:
+        path = corpus_for(_ORACLE_SF)
+    except Exception:  # sf dir absent/unreadable: per the contract above
+        return {}
     glob_ = f"{path}/*.parquet"
     credits_sql = f"""
 WITH {_admission_cte(glob_)}

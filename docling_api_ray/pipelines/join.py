@@ -16,7 +16,6 @@ Datasets — nothing is materialized on the driver.
 
 from __future__ import annotations
 
-import hashlib
 import logging
 import os
 
@@ -169,7 +168,7 @@ def bucketed_equi_join(
 
     Generalizes the reference's DB joins (usage-by-key lookups,
     `/root/reference/api/services/key_service.py:146-164`) to fact-sized
-    sides. `string_key=True` buckets via blake2b (hash_bucket_col);
+    sides. `string_key=True` buckets via the vectorized polynomial hash (hash_bucket_col);
     int keys use the cheap mask bucket.
 
     "full outer" is exact under this partitioning too: a bucket holds
@@ -238,7 +237,7 @@ def bucketed_semi_anti(
 ) -> rd.Dataset:
     """Distributed semi-join (or anti-join with `anti=True`): keep fact
     rows whose `fact_key` appears (doesn't appear) in `keys_ds[keys_key]`.
-    `string_key=True` buckets via blake2b (hash_bucket_col) for string
+    `string_key=True` buckets via the vectorized polynomial hash (hash_bucket_col) for string
     keys — fingerprints, URLs, blocklist entries; int keys use the cheap
     mask bucket.
 
@@ -381,14 +380,17 @@ BLOOM_MERGE_FANIN = 8  # tree-merge arity
 
 
 def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
-    """Distributed tree-merged Bloom build: each keys block becomes a
-    partial BITMAP in a Ray task (sparse positions -> word array), then
-    bitmaps OR-merge in a fan-in tree of Ray tasks — the driver receives
-    exactly ONE m_bits/8-byte array and does zero per-block work. Sized by
-    the FILTER, not the key count (pick m_bits ≈ 10× expected distinct
-    keys for ~1% false positives). Leaf work overlaps the keys-side read
-    (one task per block as blocks materialize); the reduce is
-    log_FANIN(blocks) deep instead of a serial driver loop."""
+    """Distributed tree-merged Bloom build. Tree nodes carry whichever
+    representation is SMALLER: a sorted sparse position array (int64,
+    8 B/position — what a single block produces) or the dense word
+    bitmap (uint64, m_bits/8 B total); a node densifies only once its
+    merged position count passes the crossover (n > words), so the
+    object store never holds hundreds of full bitmaps for a large keys
+    side — at most one dense array per in-flight merge near the root.
+    The driver receives exactly ONE m_bits/8-byte array and does zero
+    per-block work. Size by the FILTER, not the key count (m_bits ≈ 10×
+    expected distinct keys for ~1% false positives). Leaf work overlaps
+    the keys-side read; the reduce is log_FANIN(blocks) deep."""
     import ray
 
     words = (m_bits + 63) // 64
@@ -405,32 +407,46 @@ def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
         pos = np.unique(_bloom_positions(vals, m_bits).ravel())
         return pa.table({"pos": pa.array(pos, pa.int64())})
 
-    @ray.remote
-    def leaf_bitmap(tbl: pa.Table) -> np.ndarray:
+    def _densify(pos: np.ndarray) -> np.ndarray:
         bm = np.zeros(words, dtype=np.uint64)
-        pos = tbl["pos"].to_numpy(zero_copy_only=False)
         np.bitwise_or.at(bm, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
         return bm
 
     @ray.remote
-    def or_merge(*bms: np.ndarray) -> np.ndarray:
-        out = bms[0].copy()
-        for b in bms[1:]:
-            np.bitwise_or(out, b, out=out)
-        return out
+    def leaf(tbl: pa.Table) -> np.ndarray:
+        # sparse unless a single block already beats the crossover
+        pos = tbl["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _densify(pos) if len(pos) > words else pos
+
+    @ray.remote
+    def merge(*parts: np.ndarray) -> np.ndarray:
+        dense = [p for p in parts if p.dtype == np.uint64]
+        sparse = [p for p in parts if p.dtype != np.uint64]
+        if not dense:
+            cat = np.unique(np.concatenate(sparse)) if len(sparse) > 1 else sparse[0]
+            return cat if len(cat) <= words else _densify(cat)
+        bm = dense[0].copy()
+        for d in dense[1:]:
+            np.bitwise_or(bm, d, out=bm)
+        for s in sparse:
+            np.bitwise_or.at(
+                bm, s >> 6, np.uint64(1) << (s & 63).astype(np.uint64)
+            )
+        return bm
 
     refs = [
-        leaf_bitmap.remote(r)
+        leaf.remote(r)
         for r in keys_ds.map_batches(positions, batch_format="pyarrow").to_arrow_refs()
     ]
     if not refs:
         return np.zeros(words, dtype=np.uint64)
     while len(refs) > 1:
         refs = [
-            or_merge.remote(*refs[i : i + BLOOM_MERGE_FANIN])
+            merge.remote(*refs[i : i + BLOOM_MERGE_FANIN])
             for i in range(0, len(refs), BLOOM_MERGE_FANIN)
         ]
-    return ray.get(refs[0])
+    root = ray.get(refs[0])
+    return root if root.dtype == np.uint64 else _densify(root)
 
 
 def bloom_contains(bitmap: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
@@ -642,6 +658,7 @@ def auto_semi_anti(
     fact_schema: pa.Schema | None = None,
     post=None,
     broadcast_threshold: int | None = None,
+    string_key: bool = False,
 ) -> tuple[rd.Dataset, str]:
     """Strategy selector for semi/anti joins: when the KEYS side is
     provably small (`keys_bytes`, e.g. parquet footer bytes of its source
@@ -677,13 +694,18 @@ def auto_semi_anti(
             keys_tbl = pa.concat_tables(blocks, promote_options="permissive")
             kset = pc.unique(keys_tbl[keys_key].combine_chunks())
         else:
-            kset = pa.array([], pa.int64())
+            kset = None  # typed empty is key-type-dependent; handle in filt
+
         ref = ray.put(kset)
 
         def filt(t: pa.Table) -> pa.Table:
             import ray as _ray
 
-            m = pc.is_in(t[fact_key], value_set=_ray.get(ref))
+            ks = _ray.get(ref)
+            if ks is None:  # empty key set: semi keeps nothing, anti all
+                out = t if anti else t.slice(0, 0)
+                return post(out) if post is not None else out
+            m = pc.is_in(t[fact_key], value_set=ks)
             if anti:
                 m = pc.invert(m)
             out = t.filter(m)
@@ -700,6 +722,7 @@ def auto_semi_anti(
             anti=anti,
             fact_schema=fact_schema,
             post=post,
+            string_key=string_key,
         ),
         "bucketed",
     )
@@ -904,9 +927,16 @@ def bucketed_band_join_agg(
             span = int(ts.max()) - ts_min + 2  # +1 so hi == max ts + 1 fits
         else:
             ts_min, span = 0, 2
-        kmax = int(max(fk.max() if len(fk) else 0, ik.max() if len(ik) else 0, 0))
-        assert kmax < (1 << 62) // span, (
-            f"composite key overflow: max_key={kmax} span={span}"
+        # bound on |key|: negative keys would otherwise wrap silently in
+        # fk*span (numpy int64) without tripping a max-only assert
+        kabs = int(
+            max(
+                np.abs(fk).max() if len(fk) else 0,
+                np.abs(ik).max() if len(ik) else 0,
+            )
+        ) if (len(fk) or len(ik)) else 0
+        assert kabs < (1 << 62) // span, (
+            f"composite key overflow: max_abs_key={kabs} span={span}"
         )
         order = np.argsort(fk * span + (ts - ts_min), kind="stable")
         comp = (fk * span + (ts - ts_min))[order]

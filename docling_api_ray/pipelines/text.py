@@ -1438,7 +1438,10 @@ def lm_score_pipeline(sf_dir: str, top_v: int):
     # terms up via ONE hash-table index_in per batch DICTIONARY (unique
     # terms), then gathers per-token — no Python per token.
     model_terms = pa.array([r["term"] for r in top], pa.string())
-    model_logp = np.log(np.array([r["n"] for r in top], dtype=np.float64) + 1.0) - np.log(denom)
+    # ONE log of the quotient — log(a)-log(b) is up to ~1 ulp off
+    # log(a/b) (two libm roundings), the divergence class the rounding-
+    # parity rule forbids; the oracle computes ln((c+1)/denom)
+    model_logp = np.log((np.array([r["n"] for r in top], dtype=np.float64) + 1.0) / denom)
     oov = float(np.log(1.0 / denom))
     ref = ray.put((model_terms, model_logp, oov))
 
@@ -2552,9 +2555,10 @@ def q_doc_neardup_keep(sf_dir: str):
     # table is fine (broadcast below)
     member_ids = set(clusters["doc_id"].tolist())
     cl_of = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    member_set = pa.array(sorted(member_ids), pa.int64())  # built once
 
     def member_lengths(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t["doc_id"], value_set=pa.array(sorted(member_ids), pa.int64()))
+        m = pc.is_in(t["doc_id"], value_set=member_set)
         t = t.filter(m)
         return t.select(["doc_id", "n_chars"])
 
@@ -2568,13 +2572,22 @@ def q_doc_neardup_keep(sf_dir: str):
         cur = best.get(c)
         if cur is None or (ln, -d) > (lengths.get(cur, 0), -cur):
             best[c] = d
-    keep_of = {d: best[c] for d, c in cl_of.items()}
-    ref = ray.put(keep_of)
+    # broadcast as PARALLEL SORTED ARRAYS so the streaming stage maps
+    # doc_id -> kept_id with one vectorized searchsorted per batch — no
+    # per-row Python dict lookups in the corpus-wide hot loop
+    map_ids = np.array(sorted(cl_of), dtype=np.int64)
+    map_kept = np.array([best[cl_of[int(d)]] for d in map_ids], dtype=np.int64)
+    ref = ray.put((map_ids, map_kept))
 
     def decide(t: pa.Table) -> pa.Table:
-        ko = ray.get(ref)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        kept_id = np.array([ko.get(int(d), int(d)) for d in ids], dtype=np.int64)
+        mids, mkept = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept_id = ids.copy()  # non-members keep themselves
+        if len(mids):
+            pos = np.searchsorted(mids, ids)
+            pos_c = np.minimum(pos, len(mids) - 1)
+            hit = mids[pos_c] == ids
+            kept_id[hit] = mkept[pos_c[hit]]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

@@ -67,7 +67,7 @@ def key_bucketed(
 
     def add(t: pa.Table) -> pa.Table:
         col = t[key]
-        typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+        typ = col.type
         bucketer = (
             hash_bucket_col
             if pa.types.is_string(typ) or pa.types.is_large_string(typ)
