@@ -166,7 +166,17 @@ def main() -> None:
                 }
             )
 
-        out = curate_dataset(ds.map_batches(remap, batch_format="pyarrow"))
+        # size the dedup shuffle from the input's on-disk footprint
+        est = 0
+        if os.path.isdir(src):
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    est += os.path.getsize(os.path.join(src, f))
+        elif os.path.isfile(src):
+            est = os.path.getsize(src)
+        out = curate_dataset(
+            ds.map_batches(remap, batch_format="pyarrow"), est_bytes=est or None
+        )
         os.makedirs(args.output, exist_ok=True)
         out.write_parquet(args.output)
         import pyarrow.parquet as pq

@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Mean, Sum
 
+from .join import adaptive_n_buckets, table_bytes
 from .util import agg_to_table, key_bucketed, read, round_col
 from .util import splitmix64 as _splitmix64  # shared sketch hash (HLL, Bloom)
 
@@ -323,6 +324,10 @@ FROM lineitem GROUP BY l_returnflag
 # cume_dist window (ties share the max rank): evaluated key-bucketed like
 # the other per-key windows — one shuffle, vectorized rank across every
 # nation in the bucket.
+# PARTITIONING ASSUMPTION: the key (nation) is LOW-CARDINALITY, so one
+# bucket holds an entire nation's customers; a rank over an unbounded
+# per-key population would instead need the range-partitioned global
+# rank machinery (q_orders_global_rownum / q_orders_percent_rank).
 def q_cust_cume_dist(sf_dir: str):
     ds = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
 
@@ -460,7 +465,10 @@ def q_orders_running_total(sf_dir: str):
             }
         )
 
-    return key_bucketed(ds, "o_custkey", running)
+    return key_bucketed(
+        ds, "o_custkey", running,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "orders")),
+    )
 
 
 RUNNING_TOTAL_SQL = """
@@ -494,7 +502,10 @@ def q_events_lag_delta(sf_dir: str):
         out["delta_s"] = out["delta_s"].astype("int64")
         return out
 
-    return key_bucketed(ds, "user_id", deltas)
+    return key_bucketed(
+        ds, "user_id", deltas,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "events")),
+    )
 
 
 LAG_DELTA_SQL = """
@@ -529,7 +540,10 @@ def q_events_moving_avg(sf_dir: str):
             }
         )
 
-    return key_bucketed(ds, "user_id", mavg)
+    return key_bucketed(
+        ds, "user_id", mavg,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "events")),
+    )
 
 
 MOVING_AVG_SQL = """

@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Mean, Sum
 
+from .join import adaptive_n_buckets, table_bytes
 from .util import epoch_seconds, key_bucketed, read, round_col
 
 SESSION_GAP_S = 1800  # 30 minutes
@@ -93,7 +94,10 @@ def q_events_sessionize(sf_dir: str):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return key_bucketed(ds, "user_id", sessions)
+    return key_bucketed(
+        ds, "user_id", sessions,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "events")),
+    )
 
 
 SESSIONIZE_SQL = f"""
@@ -195,7 +199,10 @@ def q_events_asof(sf_dir: str):
             }
         )
 
-    return key_bucketed(ds, "user_id", asof)
+    return key_bucketed(
+        ds, "user_id", asof,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "events")),
+    )
 
 
 ASOF_SQL = """
@@ -243,7 +250,10 @@ def q_events_funnel(sf_dir: str):
             prev = t_k
         return pd.DataFrame({"user_id": users.to_numpy(), "stage": stage.to_numpy()})
 
-    per_user = key_bucketed(ds, "user_id", stages)
+    per_user = key_bucketed(
+        ds, "user_id", stages,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "events")),
+    )
     return per_user.groupby("stage").aggregate(Count(alias_name="n_users"))
 
 
@@ -337,7 +347,10 @@ def q_events_retention(sf_dir: str):
             }
         )
 
-    per_day = key_bucketed(ds.map_batches(prep, batch_format="pyarrow"), "user_id", flag)
+    per_day = key_bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", flag,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "events")),
+    )
     return per_day.groupby("day").aggregate(
         Count(alias_name="n_active"), Sum("retained", alias_name="n_retained")
     )
@@ -390,7 +403,10 @@ def q_events_last_event(sf_dir: str):
             }
         )
 
-    return key_bucketed(ds.map_batches(prep, batch_format="pyarrow"), "user_id", last)
+    return key_bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"), "user_id", last,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "events")),
+    )
 
 
 LAST_EVENT_SQL = """

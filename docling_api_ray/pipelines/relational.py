@@ -1611,7 +1611,8 @@ def q17_small_qty_revenue(sf_dir: str):
         s = float(g.loc[g["l_quantity"] < thr, "l_extendedprice"].sum())
         return pd.DataFrame({"s": [s], "n": [int((g["l_quantity"] < thr).sum())]})
 
-    partials = key_bucketed(semi, "l_partkey", bucket_sum)
+    # fact-grain (1/|brands| of lineitem): scale the bucket count too
+    partials = key_bucketed(semi, "l_partkey", bucket_sum, n_buckets=nb)
     d = partials.aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
     if not d or not d.get("n"):
         out = float("nan")  # SQL: sum over zero rows is NULL

@@ -1224,7 +1224,12 @@ def q_doc_tfidf(sf_dir: str):
         g = g.sort_values(["doc_id", "score", "term"], ascending=[True, False, True])
         return g.groupby("doc_id", sort=False).head(TFIDF_TOP_K)
 
-    return key_bucketed(scored, "doc_id", topk_bucket)
+    # bucket count scales with the corpus so one bucket's pandas frame
+    # stays bounded at 100x (doc-term rows are proportional to input)
+    return key_bucketed(
+        scored, "doc_id", topk_bucket,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "documents")),
+    )
 
 
 TFIDF_SQL = rf"""
@@ -1975,7 +1980,10 @@ def q_doc_pack_sequences(sf_dir: str):
         g["last_bin"] = np.where(g["n_tokens"] == 0, g["first_bin"], last)
         return g[["doc_id", "shard", "n_tokens", "cum_before", "first_bin", "last_bin"]]
 
-    return key_bucketed(ds.map_batches(tok, batch_format="pyarrow"), "shard", pack)
+    return key_bucketed(
+        ds.map_batches(tok, batch_format="pyarrow"), "shard", pack,
+        n_buckets=adaptive_n_buckets(table_bytes(sf_dir, "documents")),
+    )
 
 
 PACK_SQL = rf"""
@@ -2323,22 +2331,28 @@ class CurationSignals:
         return out.filter(pa.array(keep))
 
 
-def curate_dataset(ds):
+def curate_dataset(ds, est_bytes: int | None = None):
     """The curation chain over any documents-shaped Dataset
     (doc_id, text, lang) — shared by q_doc_curation and the job CLI's
-    --curate mode."""
+    --curate mode. `est_bytes` (e.g. parquet footer bytes of the source)
+    sizes the dedup shuffle's bucket count so per-bucket frames stay
+    bounded at 100×."""
     sig = ds.map_batches(_cached_stage(CurationSignals), batch_format="pyarrow")
 
     def dedup_min(g: "pd.DataFrame") -> "pd.DataFrame":
         g = g.sort_values(["hkey", "doc_id"]).drop_duplicates("hkey", keep="first")
         return g.drop(columns=["hkey"])
 
-    return key_bucketed(sig, "hkey", dedup_min)
+    nb = adaptive_n_buckets(est_bytes) if est_bytes else 64
+    return key_bucketed(sig, "hkey", dedup_min, n_buckets=nb)
 
 
 def q_doc_curation(sf_dir: str):
     # "lang" rides along only because the LangId kernel's schema needs it
-    return curate_dataset(read(sf_dir, "documents", columns=["doc_id", "text", "lang"]))
+    return curate_dataset(
+        read(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        est_bytes=table_bytes(sf_dir, "documents"),
+    )
 
 
 # The oracle partitions the dedup by full text; the engine by a 64-bit
@@ -2371,6 +2385,9 @@ ORACLE["q_doc_curation"] = _curation_sql()
 # without letting a handful of giants move the mean. Rank-exact (ties
 # broken by doc_id) so the oracle hash-matches; rides key_bucketed —
 # groups sort only inside their bucket, never a global sort.
+# PARTITIONING ASSUMPTION: lang is LOW-CARDINALITY, so one bucket holds a
+# whole language's rows; rank-exact trimming of an unbounded per-key
+# population would need sketch-cutpoint range partitioning instead.
 
 TRIM_FRAC = 0.05
 
