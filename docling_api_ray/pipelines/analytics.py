@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Mean, Sum
 
 from .join import adaptive_n_buckets, table_bytes
-from .util import agg_to_table, key_bucketed, read, round_col
+from .util import agg_to_table, key_bucketed, read, round_col, round_sql_double
 from .util import splitmix64 as _splitmix64  # shared sketch hash (HLL, Bloom)
 
 # ---------------------------------------------------------------------------
@@ -173,7 +173,11 @@ def q_lineitem_quantiles(sf_dir: str):
     def select_quantiles(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values("l_quantity").reset_index(drop=True)
         cum = df["n"].cumsum().to_numpy()
-        n = int(cum[-1]) if len(cum) else 0
+        if not len(cum):  # empty input: SQL quantile over zero rows = no rows
+            return pa.table(
+                {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+            )
+        n = int(cum[-1])
         qs, vals = [], []
         for q in QUANTILES:
             idx = max(1, math.ceil(q * n))  # 1-based rank, quantile_disc
@@ -226,7 +230,11 @@ def q_lineitem_corr(sf_dir: str):
     covar = s["sxy"] / (n - 1)
     corr = s["sxy"] / math.sqrt(s["sxx"] * s["syy"]) if s["sxx"] * s["syy"] > 0 else float("nan")
     t = agg_to_table(
-        {"n": n, "corr_qty_price": round(corr, 6), "covar_qty_price": round(covar, 4)},
+        {
+            "n": n,
+            "corr_qty_price": float(round_sql_double(np.float64(corr), 6)),
+            "covar_qty_price": float(round_sql_double(np.float64(covar), 4)),
+        },
         ["n", "corr_qty_price", "covar_qty_price"],
     )
     return t
@@ -304,8 +312,10 @@ def q_lineitem_corr_by_flag(sf_dir: str):
                 {
                     "l_returnflag": f,
                     "n": n,
-                    "corr_qty_price": round(corr, 6),
-                    "covar_qty_price": round(r["sxy"] / (n - 1), 4),
+                    "corr_qty_price": float(round_sql_double(np.float64(corr), 6)),
+                    "covar_qty_price": float(
+                        round_sql_double(np.float64(r["sxy"] / (n - 1)), 4)
+                    ),
                 }
             )
         return pa.Table.from_pylist(out)
@@ -334,12 +344,19 @@ def q_cust_cume_dist(sf_dir: str):
     def cume(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["c_nationkey", "c_acctbal", "c_custkey"])
         grp = g.groupby("c_nationkey")["c_acctbal"]
-        cd = grp.rank(method="max") / grp.transform("size")
+        # INTEGER ratio rank/size: must replicate DuckDB's double-product
+        # rounding (round_sql_double) — np.round half-even loses the .5
+        # products this ratio creates (1/640 at sf0.1), and exact-decimal
+        # integer rounding disagrees where the double product falls on
+        # the other side of .5 (333/640)
+        r = grp.rank(method="max").to_numpy().astype(np.float64)
+        s = grp.transform("size").to_numpy().astype(np.float64)
+        cume6 = round_sql_double(r / s, 6)
         return pd.DataFrame(
             {
                 "c_custkey": g["c_custkey"].to_numpy(),
                 "c_nationkey": g["c_nationkey"].to_numpy(),
-                "cume": np.round(cd.to_numpy(), 6),
+                "cume": cume6,
             }
         )
 

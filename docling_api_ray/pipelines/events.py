@@ -10,13 +10,14 @@ session-equivalent so ties don't affect results)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Max, Mean, Sum
 
 from .join import adaptive_n_buckets, table_bytes
-from .util import epoch_seconds, key_bucketed, read, round_col
+from .util import epoch_seconds, key_bucketed, read, round_col, round_sql_double
 
 SESSION_GAP_S = 1800  # 30 minutes
 
@@ -444,10 +445,25 @@ def q_events_json_extract(sf_dir: str):
         .aggregate(
             Count(alias_name="n"),
             Sum("k", alias_name="k_sum"),
-            Mean("k", alias_name="k_avg"),
         )
     )
-    return out.map_batches(lambda t: round_col(t, "k_avg", 4), batch_format="pyarrow")
+
+    def fin(t: pa.Table) -> pa.Table:
+        # INTEGER ratio sum/count: replicate DuckDB's double-product
+        # rounding of avg() — see util.round_sql_double
+        s = t["k_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k_avg = round_sql_double(s.astype(np.float64) / n.astype(np.float64), 4)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(n, pa.int64()),
+                "k_sum": pa.array(s, pa.int64()),
+                "k_avg": pa.array(k_avg, pa.float64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 JSON_EXTRACT_SQL = """

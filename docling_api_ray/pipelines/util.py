@@ -31,13 +31,29 @@ def broadcast(obj) -> "ray.ObjectRef":
 
 
 def round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
-    # numpy round, NOT pc.round: Arrow's ndigits rounding algorithm leaves
-    # values like 83.46000000000001 unchanged, diverging from DuckDB/python;
-    # np.round matches DuckDB's double ROUND on real data (verified on 400k
-    # random doubles)
+    # round_sql_double, NOT pc.round (Arrow leaves 83.46000000000001
+    # unchanged) and NOT np.round (half-even loses the exact-.5 products
+    # integer-ratio values create — diverged from DuckDB on cume_dist at
+    # sf0.1). floor(x*10^d + 0.5) replicates DuckDB's double ROUND by
+    # construction; on random doubles it agrees with np.round anyway.
     i = t.schema.get_field_index(col)
-    vals = np.round(t[col].to_numpy(zero_copy_only=False).astype(np.float64), digits)
+    vals = round_sql_double(
+        t[col].to_numpy(zero_copy_only=False).astype(np.float64), digits
+    )
     return t.set_column(i, col, pa.array(vals, type=pa.float64()))
+
+
+def round_sql_double(x: np.ndarray, digits: int) -> np.ndarray:
+    """Replicate DuckDB's round(DOUBLE, d) bit-for-bit: y = x * 10^d in
+    double, then half-away-from-zero on y. NOT np.round (half-even loses
+    the .5 products integer ratios create: round(1/640, 6)) and NOT
+    exact-decimal integer arithmetic (DuckDB rounds the DOUBLE product,
+    which can fall on the *other* side of .5 than the true decimal:
+    round(333/640, 6) goes DOWN). Verified against DuckDB on dyadic,
+    repeating and boundary ratios."""
+    p = 10.0 ** digits
+    y = x * p
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / p
 
 
 def agg_to_table(d: dict, order: list[str]) -> pa.Table:
