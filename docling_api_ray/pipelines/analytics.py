@@ -40,7 +40,10 @@ from .util import splitmix64 as _splitmix64  # shared sketch hash (HLL, Bloom)
 # ROLLUP (grouping sets): orders by (priority, year), (priority), ()
 
 
-def q_orders_rollup(sf_dir: str):
+def _priority_year_finest(sf_dir: str):
+    """ONE fact pass to the finest (priority, year) aggregate — shared by
+    ROLLUP and CUBE, whose super-aggregates differ only in which levels
+    they re-aggregate from these output-sized rows."""
     ds = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
 
     def prep(t: pa.Table) -> pa.Table:
@@ -52,22 +55,31 @@ def q_orders_rollup(sf_dir: str):
             }
         )
 
-    finest = (
+    return (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby(["priority", "year"])
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
     )
 
-    def rollup(t: pa.Table) -> pa.Table:
-        # t is the finest aggregate — output-sized (|priorities|×|years|);
-        # super-aggregates re-aggregate it, never the fact table
-        df = t.to_pandas()
-        lvl1 = (
-            df.groupby("priority", as_index=False)[["n_orders", "total"]]
+
+def _grouping_sets(df: pd.DataFrame, with_year_level: bool) -> pa.Table:
+    """Super-aggregate the finest rows: per-priority, (CUBE only)
+    per-year, and the grand total; shared finalization so dtype casts and
+    rounding cannot drift between the ROLLUP and CUBE queries."""
+    levels = [
+        df,
+        df.groupby("priority", as_index=False)[["n_orders", "total"]]
+        .sum()
+        .assign(year="ALL"),
+    ]
+    if with_year_level:
+        levels.append(
+            df.groupby("year", as_index=False)[["n_orders", "total"]]
             .sum()
-            .assign(year="ALL")
+            .assign(priority="ALL")
         )
-        lvl2 = pd.DataFrame(
+    levels.append(
+        pd.DataFrame(
             {
                 "priority": ["ALL"],
                 "year": ["ALL"],
@@ -75,12 +87,22 @@ def q_orders_rollup(sf_dir: str):
                 "total": [df["total"].sum()],
             }
         )
-        out = pd.concat([df, lvl1, lvl2], ignore_index=True)
-        out["n_orders"] = out["n_orders"].astype("int64")
-        tbl = pa.Table.from_pandas(
-            out[["priority", "year", "n_orders", "total"]], preserve_index=False
-        )
-        return round_col(tbl, "total", 2)
+    )
+    out = pd.concat(levels, ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    tbl = pa.Table.from_pandas(
+        out[["priority", "year", "n_orders", "total"]], preserve_index=False
+    )
+    return round_col(tbl, "total", 2)
+
+
+def q_orders_rollup(sf_dir: str):
+    finest = _priority_year_finest(sf_dir)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        # t is the finest aggregate — output-sized (|priorities|×|years|);
+        # super-aggregates re-aggregate it, never the fact table
+        return _grouping_sets(t.to_pandas(), with_year_level=False)
 
     # single-block finalization: the finest result is tiny
     return finest.repartition(1).map_batches(rollup, batch_format="pyarrow")
@@ -102,49 +124,10 @@ def q_orders_cube(sf_dir: str):
     year-only, grand total — re-aggregates those output-sized rows in a
     single small block. The 100 TB shape: grouping-set count multiplies
     work on the AGGREGATE, never on the fact stream."""
-    ds = read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "priority": t["o_orderpriority"],
-                "year": pc.strftime(t["o_orderdate"], format="%Y"),
-                "o_totalprice": t["o_totalprice"],
-            }
-        )
-
-    finest = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["priority", "year"])
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
-    )
+    finest = _priority_year_finest(sf_dir)
 
     def cube(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        by_p = (
-            df.groupby("priority", as_index=False)[["n_orders", "total"]]
-            .sum()
-            .assign(year="ALL")
-        )
-        by_y = (
-            df.groupby("year", as_index=False)[["n_orders", "total"]]
-            .sum()
-            .assign(priority="ALL")
-        )
-        grand = pd.DataFrame(
-            {
-                "priority": ["ALL"],
-                "year": ["ALL"],
-                "n_orders": [df["n_orders"].sum()],
-                "total": [df["total"].sum()],
-            }
-        )
-        out = pd.concat([df, by_p, by_y, grand], ignore_index=True)
-        out["n_orders"] = out["n_orders"].astype("int64")
-        tbl = pa.Table.from_pandas(
-            out[["priority", "year", "n_orders", "total"]], preserve_index=False
-        )
-        return round_col(tbl, "total", 2)
+        return _grouping_sets(t.to_pandas(), with_year_level=True)
 
     return finest.repartition(1).map_batches(cube, batch_format="pyarrow")
 
@@ -587,18 +570,25 @@ HLL_M = 1 << HLL_P
 
 
 
-def _hll_partial(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(register index, rho) partial maxima for one batch of int64 keys."""
+def _hll_hash(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key (register index, rho) — the single HLL hashing core shared
+    by the global and grouped sketches so the rho formula cannot drift.
+    floor(log2(w)) is exact: w < 2^52 fits float64's 53-bit mantissa."""
     h = _splitmix64(vals.astype(np.uint64))
     idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
     w = h & np.uint64((1 << (64 - HLL_P)) - 1)
     bits = 64 - HLL_P
-    # floor(log2(w)) is exact: w < 2^52 fits float64's 53-bit mantissa
     lead = np.where(
         w > 0,
         bits - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))).astype(np.int64),
         bits + 1,
     )
+    return idx, lead
+
+
+def _hll_partial(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) partial maxima for one batch of int64 keys."""
+    idx, lead = _hll_hash(vals)
     regs = np.zeros(HLL_M, dtype=np.int64)
     np.maximum.at(regs, idx, lead)
     nz = np.nonzero(regs)[0]
@@ -845,33 +835,7 @@ def _qsketch_compress(vals: np.ndarray, weights: np.ndarray, k: int):
 
 def q_price_quantiles_sketch(sf_dir: str):
     ds = read(sf_dir, "lineitem", columns=["l_extendedprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        x = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
-        v, w = _qsketch_compress(x, np.ones(len(x)), QSKETCH_K)
-        return pa.table(
-            {
-                "b": pa.array(
-                    np.arange(len(v), dtype=np.int64) % QSKETCH_BUCKETS, pa.int64()
-                ),
-                "v": pa.array(v, pa.float64()),
-                "w": pa.array(w, pa.float64()),
-            }
-        )
-
-    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
-        v, w = _qsketch_compress(
-            g["v"].to_numpy(), g["w"].to_numpy(), QSKETCH_K
-        )
-        import pandas as pd
-
-        return pd.DataFrame({"v": v, "w": w})
-
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(merge, batch_format="pandas")
-    )
+    merged = _value_sketch(ds, "l_extendedprice")
 
     def finish(t: pa.Table) -> pa.Table:
         v = t["v"].to_numpy(zero_copy_only=False)
@@ -916,16 +880,7 @@ def q_events_user_hll(sf_dir: str):
         gcodes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         gnames = d.dictionary.to_pylist()
         vals = t["user_id"].to_numpy(zero_copy_only=False)
-        h = _splitmix64(vals.astype(np.uint64))
-        idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
-        w = h & np.uint64((1 << (64 - HLL_P)) - 1)
-        bits = 64 - HLL_P
-        lead = np.where(
-            w > 0,
-            bits
-            - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))).astype(np.int64),
-            bits + 1,
-        )
+        idx, lead = _hll_hash(vals)
         sheet = np.zeros((len(gnames), HLL_M), dtype=np.int64)
         np.maximum.at(sheet, (gcodes, idx), lead)
         g_nz, r_nz = np.nonzero(sheet)
@@ -981,8 +936,11 @@ QUERIES["q_events_user_hll"] = q_events_user_hll
 RANGE_BUCKETS = 64
 
 
-def _range_boundaries(ds, col: str, n_splits: int) -> np.ndarray:
-    """Interior quantile cutpoints of `col` from the mergeable sketch."""
+def _value_sketch(ds, col: str):
+    """Mergeable weighted-point sketch of `col` as a Dataset: per-batch
+    compress → bucketed merge. ONE implementation shared by the quantile
+    query and the range-partitioner so the sketch protocol cannot drift
+    between them."""
 
     def partial(t: pa.Table) -> pa.Table:
         x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -1001,12 +959,16 @@ def _range_boundaries(ds, col: str, n_splits: int) -> np.ndarray:
         v, w = _qsketch_compress(g["v"].to_numpy(), g["w"].to_numpy(), QSKETCH_K)
         return pd.DataFrame({"v": v, "w": w})
 
-    pts = (
+    return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("b")
         .map_groups(merge, batch_format="pandas")
-        .to_pandas()  # ≤ QSKETCH_BUCKETS × QSKETCH_K weighted points
     )
+
+
+def _range_boundaries(ds, col: str, n_splits: int) -> np.ndarray:
+    """Interior quantile cutpoints of `col` from the mergeable sketch."""
+    pts = _value_sketch(ds, col).to_pandas()  # ≤ BUCKETS × K weighted points
     v = pts["v"].to_numpy()
     w = pts["w"].to_numpy()
     order = np.argsort(v, kind="stable")
@@ -1018,17 +980,20 @@ def _range_boundaries(ds, col: str, n_splits: int) -> np.ndarray:
     return np.unique(v[idx])
 
 
-def q_orders_global_rownum(sf_dir: str):
-    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    cuts = _range_boundaries(ds, "o_totalprice", RANGE_BUCKETS)
+def _range_partitioned(ds, order_col: str, id_col: str):
+    """Shared machinery of the global-rank queries: sketch cutpoints →
+    per-row range-bucket assignment → bucket-count combiner → global
+    offsets. ONE implementation so rownum and percent_rank cannot drift.
+    Returns (assigned_ds with an `rb` column, offsets dict, total)."""
+    cuts = _range_boundaries(ds, order_col, RANGE_BUCKETS)
 
     def assign(t: pa.Table) -> pa.Table:
-        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        x = t[order_col].to_numpy(zero_copy_only=False)
         b = np.searchsorted(cuts, x, side="right").astype(np.int64)
         return pa.table(
             {
-                "o_orderkey": t["o_orderkey"],
-                "o_totalprice": t["o_totalprice"],
+                id_col: t[id_col],
+                order_col: t[order_col],
                 "rb": pa.array(b, pa.int64()),
             }
         )
@@ -1037,7 +1002,7 @@ def q_orders_global_rownum(sf_dir: str):
 
     # bucket-grained offsets from per-batch count partials (combiner)
     def bucket_counts(t: pa.Table) -> pa.Table:
-        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        x = t[order_col].to_numpy(zero_copy_only=False)
         b = np.searchsorted(cuts, x, side="right")
         u, c = np.unique(b, return_counts=True)
         return pa.table(
@@ -1051,12 +1016,19 @@ def q_orders_global_rownum(sf_dir: str):
         .to_pandas()
         .sort_values("rb")
     )
+    total = int(counts["n"].sum())
     offsets = dict(
         zip(
             counts["rb"].tolist(),
             np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1])).tolist(),
         )
     )
+    return assigned, offsets, total
+
+
+def q_orders_global_rownum(sf_dir: str):
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    assigned, offsets, _ = _range_partitioned(ds, "o_totalprice", "o_orderkey")
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
@@ -1086,41 +1058,7 @@ def q_orders_percent_rank(sf_dir: str):
     orders row counts make N-1 odd, so (rn-1)/(N-1) never lands on one
     (see the rounding-parity rule in CLAUDE.md)."""
     ds = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    cuts = _range_boundaries(ds, "o_totalprice", RANGE_BUCKETS)
-
-    def assign(t: pa.Table) -> pa.Table:
-        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        b = np.searchsorted(cuts, x, side="right").astype(np.int64)
-        return pa.table(
-            {
-                "o_orderkey": t["o_orderkey"],
-                "o_totalprice": t["o_totalprice"],
-                "rb": pa.array(b, pa.int64()),
-            }
-        )
-
-    assigned = ds.map_batches(assign, batch_format="pyarrow")
-
-    def bucket_counts(t: pa.Table) -> pa.Table:
-        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        b = np.searchsorted(cuts, x, side="right")
-        u, c = np.unique(b, return_counts=True)
-        return pa.table({"rb": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
-
-    counts = (
-        ds.map_batches(bucket_counts, batch_format="pyarrow")
-        .groupby("rb")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-        .sort_values("rb")
-    )
-    total = int(counts["n"].sum())
-    offsets = dict(
-        zip(
-            counts["rb"].tolist(),
-            np.concatenate(([0], np.cumsum(counts["n"].to_numpy())[:-1])).tolist(),
-        )
-    )
+    assigned, offsets, total = _range_partitioned(ds, "o_totalprice", "o_orderkey")
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
@@ -1129,7 +1067,7 @@ def q_orders_percent_rank(sf_dir: str):
         return pd.DataFrame(
             {
                 "o_orderkey": g["o_orderkey"].to_numpy(),
-                "pct_rank": np.round(pr, 6),
+                "pct_rank": round_sql_double(pr, 6),
             }
         )
 

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Mean, Sum
 
-from .util import read, read_small, round_col
+from .util import read, read_small, round_col, round_sql_double
 
 TOP_K = 5
 N_QUERIES = 10
@@ -84,6 +84,15 @@ def _query_matrix(sf_dir: str):
     return ids[order], mat[order]
 
 
+def _topk_merge(g: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-query top-k finalize shared by all ANN variants (brute force,
+    IVF, LSH) so tie-break and rounding cannot drift between them —
+    their pytest recall comparisons depend on identical merge rules."""
+    g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
+    g["sim"] = round_sql_double(g["sim"].to_numpy(), 4)
+    return g
+
+
 def q_ann_topk(sf_dir: str):
     qids, qmat = _query_matrix(sf_dir)
     ref = ray.put((qids, qmat))
@@ -121,15 +130,10 @@ def q_ann_topk(sf_dir: str):
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
-        g["sim"] = g["sim"].round(4)
-        return g
-
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(_topk_merge, batch_format="pandas")
     )
 
 
@@ -341,15 +345,10 @@ def q_ann_ivf(sf_dir: str):
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
-        g["sim"] = g["sim"].round(4)
-        return g
-
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(_topk_merge, batch_format="pandas")
     )
 
 
@@ -429,15 +428,10 @@ def q_ann_lsh(sf_dir: str):
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(TOP_K)
-        g["sim"] = g["sim"].round(4)
-        return g
-
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(_topk_merge, batch_format="pandas")
     )
 
 
