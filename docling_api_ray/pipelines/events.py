@@ -54,8 +54,17 @@ def q_events_user_stats(sf_dir: str):
     ds = read(sf_dir, "events", columns=["user_id", "value", "ts"])
 
     def prep(t: pa.Table) -> pa.Table:
+        # value is 2dp-exact by construction: carry int64 hundredths so
+        # the per-user sums are EXACT — float Mean hit a .00005 straddle
+        # vs DuckDB avg at sf0.1 (engines' sums rounded apart); with
+        # exact sums both sides make ONE correctly-rounded division
+        v = t["value"].to_numpy(zero_copy_only=False)
         return pa.table(
-            {"user_id": t["user_id"], "value": t["value"], "ts_s": epoch_seconds(t["ts"])}
+            {
+                "user_id": t["user_id"],
+                "v_e2": pa.array(np.round(v * 100.0).astype(np.int64), pa.int64()),
+                "ts_s": epoch_seconds(t["ts"]),
+            }
         )
 
     out = (
@@ -63,15 +72,31 @@ def q_events_user_stats(sf_dir: str):
         .groupby("user_id")
         .aggregate(
             Count(alias_name="n_events"),
-            Mean("value", alias_name="avg_value"),
+            Sum("v_e2", alias_name="s_e2"),
             Max("ts_s", alias_name="last_ts"),
         )
     )
-    return out.map_batches(lambda t: round_col(t, "avg_value", 4), batch_format="pyarrow")
+
+    def fin(t: pa.Table) -> pa.Table:
+        s = t["s_e2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = round_sql_double(s / (100 * n).astype(np.float64), 4)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": pa.array(n, pa.int64()),
+                "avg_value": pa.array(avg, pa.float64()),
+                "last_ts": t["last_ts"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 USER_STATS_SQL = """
-SELECT user_id, count(*) AS n_events, round(avg(value), 4) AS avg_value,
+SELECT user_id, count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / (100 * count(*)), 4) AS avg_value,
        epoch_us(max(ts)) // 1000000 AS last_ts
 FROM events GROUP BY user_id
 """

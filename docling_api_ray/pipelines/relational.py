@@ -430,23 +430,52 @@ def q_part_brand_stats(sf_dir: str):
     ds = read(sf_dir, "part", columns=["p_brand", "p_name", "p_retailprice", "p_size"])
 
     def prep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.match_substring(t["p_name"], "re"))
+        t = t.filter(pc.match_substring(t["p_name"], "re"))
+        # 2dp-exact price: int64 hundredths so group sums are EXACT and
+        # both engines round the same correctly-rounded division
+        # (avoids the float-Mean .00005 straddle class)
+        v = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_e2": pa.array(np.round(v * 100.0).astype(np.int64), pa.int64()),
+                "p_size": t["p_size"],
+            }
+        )
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow")
         .groupby("p_brand")
         .aggregate(
             Count(alias_name="n"),
-            Mean("p_retailprice", alias_name="avg_price"),
+            Sum("p_e2", alias_name="s_e2"),
             Max("p_size", alias_name="max_size"),
         )
     )
-    return out.map_batches(lambda t: round_col(t, "avg_price", 2), batch_format="pyarrow")
+
+    def fin(t: pa.Table) -> pa.Table:
+        from .util import round_sql_double
+
+        s = t["s_e2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "n": pa.array(n, pa.int64()),
+                "avg_price": pa.array(
+                    round_sql_double(s / (100 * n).astype(np.float64), 2), pa.float64()
+                ),
+                "max_size": t["max_size"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 PART_BRAND_SQL = """
 SELECT p_brand, count(*) AS n,
-       round(avg(p_retailprice), 2) AS avg_price,
+       round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+             / (100 * count(*)), 2) AS avg_price,
        max(p_size) AS max_size
 FROM part WHERE contains(p_name, 're')
 GROUP BY p_brand
@@ -645,19 +674,45 @@ FROM customer GROUP BY 1
 # Global scalar stats (single row)
 def q_lineitem_global_stats(sf_dir: str):
     ds = read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
-    res = ds.aggregate(
+
+    def prep(t: pa.Table) -> pa.Table:
+        # 2dp-exact price as int64 hundredths: exact sum, one division
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_quantity": t["l_quantity"],
+                "p_e2": pa.array(np.round(v * 100.0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    res = ds.map_batches(prep, batch_format="pyarrow").aggregate(
         Count(alias_name="n_rows"),
         Min("l_quantity", alias_name="min_qty"),
         Max("l_quantity", alias_name="max_qty"),
-        Mean("l_extendedprice", alias_name="avg_price"),
+        Sum("p_e2", alias_name="s_e2"),
     )
-    t = agg_to_table(res, ["n_rows", "min_qty", "max_qty", "avg_price"])
-    return round_col(t, "avg_price", 2)
+    from .util import round_sql_double
+
+    n = int(res["n_rows"])
+    avg = (
+        float(round_sql_double(np.float64(res["s_e2"]) / float(100 * n), 2))
+        if n
+        else float("nan")
+    )
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "min_qty": pa.array([res["min_qty"]], pa.float64()),
+            "max_qty": pa.array([res["max_qty"]], pa.float64()),
+            "avg_price": pa.array([avg], pa.float64()),
+        }
+    )
 
 
 GLOBAL_STATS_SQL = """
 SELECT count(*) AS n_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-       round(avg(l_extendedprice), 2) AS avg_price
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / (100 * count(*)), 2) AS avg_price
 FROM lineitem
 """
 
