@@ -167,13 +167,10 @@ def main() -> None:
             )
 
         # size the dedup shuffle from the input's on-disk footprint
-        est = 0
-        if os.path.isdir(src):
-            for f in os.listdir(src):
-                if f.endswith(".parquet"):
-                    est += os.path.getsize(os.path.join(src, f))
-        elif os.path.isfile(src):
-            est = os.path.getsize(src)
+        # (src may be a glob-expanded list; path_bytes recurses into dirs)
+        from .pipelines.join import path_bytes
+
+        est = path_bytes(*(src if isinstance(src, list) else [src]))
         out = curate_dataset(
             ds.map_batches(remap, batch_format="pyarrow"), est_bytes=est or None
         )

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from .join import adaptive_n_buckets, table_bytes
 from .util import epoch_seconds, key_bucketed, read, round_col, round_sql_double
@@ -469,22 +469,35 @@ def q_events_json_extract(sf_dir: str):
         .groupby("event_type")
         .aggregate(
             Count(alias_name="n"),
-            Sum("k", alias_name="k_sum"),
+            Sum("k", alias_name="k_sum", ignore_nulls=True),
+            Count(on="k", alias_name="k_n", ignore_nulls=True),
         )
     )
 
     def fin(t: pa.Table) -> pa.Table:
-        # INTEGER ratio sum/count: replicate DuckDB's double-product
-        # rounding of avg() — see util.round_sql_double
-        s = t["k_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # INTEGER ratio sum/count(k): replicate DuckDB's double-product
+        # rounding of avg() — see util.round_sql_double. avg()/sum()
+        # ignore NULL k (regex misses); an all-null group yields NULL
+        # k_sum/k_avg, exactly like SQL.
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        k_avg = round_sql_double(s.astype(np.float64) / n.astype(np.float64), 4)
+        kn = t["k_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = kn > 0
+        # an all-null group makes Ray's Sum emit a null-TYPED column;
+        # cast first so fill_null has an int64 to fill
+        s = (
+            pc.fill_null(pc.cast(t["k_sum"], pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        k_avg = round_sql_double(
+            s.astype(np.float64) / np.maximum(kn, 1).astype(np.float64), 4
+        )
         return pa.table(
             {
                 "event_type": t["event_type"],
                 "n": pa.array(n, pa.int64()),
-                "k_sum": pa.array(s, pa.int64()),
-                "k_avg": pa.array(k_avg, pa.float64()),
+                "k_sum": pa.array(s, pa.int64(), mask=~valid),
+                "k_avg": pa.array(k_avg, pa.float64(), mask=~valid),
             }
         )
 

@@ -29,11 +29,10 @@ logger = logging.getLogger("docling_api_ray.join")
 TARGET_BUCKET_BYTES = 64 << 20  # ~64 MB of input per bucket group
 
 
-def table_bytes(sf_dir: str, *names: str) -> int:
-    """On-disk bytes of the input parquet files (cheap size estimate)."""
+def path_bytes(*paths: str) -> int:
+    """On-disk bytes of files/directories (recursive; cheap size estimate)."""
     total = 0
-    for n in names:
-        p = os.path.join(sf_dir, f"{n}.parquet")
+    for p in paths:
         if os.path.isdir(p):
             total += sum(
                 os.path.getsize(os.path.join(r, f))
@@ -43,6 +42,11 @@ def table_bytes(sf_dir: str, *names: str) -> int:
         elif os.path.exists(p):
             total += os.path.getsize(p)
     return total
+
+
+def table_bytes(sf_dir: str, *names: str) -> int:
+    """On-disk bytes of the input parquet files (cheap size estimate)."""
+    return path_bytes(*(os.path.join(sf_dir, f"{n}.parquet") for n in names))
 
 
 def table_rows(sf_dir: str, name: str) -> int:

@@ -50,10 +50,18 @@ def round_sql_double(x: np.ndarray, digits: int) -> np.ndarray:
     exact-decimal integer arithmetic (DuckDB rounds the DOUBLE product,
     which can fall on the *other* side of .5 than the true decimal:
     round(333/640, 6) goes DOWN). Verified against DuckDB on dyadic,
-    repeating and boundary ratios."""
+    repeating and boundary ratios.
+
+    The half-away decision must be made on the EXACT value of y, the way
+    libm std::round does — not via floor(y + 0.5), whose addition rounds
+    y = 0.5 - 2^-54 up to exactly 1.0 and misrounds every value one ulp
+    below a .5 boundary. y - floor(y) is exact in IEEE (Sterbenz), so
+    comparing it to 0.5 reproduces std::round bit-for-bit."""
     p = 10.0 ** digits
     y = x * p
-    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / p
+    fy = np.floor(y)
+    cy = np.ceil(y)
+    return np.where(y >= 0, fy + ((y - fy) >= 0.5), cy - ((cy - y) >= 0.5)) / p
 
 
 def agg_to_table(d: dict, order: list[str]) -> pa.Table:
