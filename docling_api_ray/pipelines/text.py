@@ -2797,3 +2797,105 @@ GROUP BY tf.doc_id
 
 QUERIES["q_doc_entropy"] = q_doc_entropy
 ORACLE["q_doc_entropy"] = ENTROPY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup with document REASSEMBLY (the MassiveText /
+# RefinedWeb line-dedup move): drop every repeated paragraph corpus-wide
+# (keeping only its first occurrence by (doc_id, para_idx)) and stitch
+# each document back together from its surviving paragraphs. Differs from
+# q_doc_exact_dedup (whole-doc) and the minhash family (pairs): this one
+# rewrites document CONTENT. The corpus has no newline structure, so a
+# "paragraph" is a fixed window of PARA_WORDS words — same rule on both
+# engines. Two bucketed shuffles, both adaptive: (1) by paragraph text to
+# pick winners (exact-string compare, not hash — collision-free), (2) by
+# doc_id to reassemble. Explode is zero-Python-per-row: ONE split_pattern
+# kernel, synthesized list offsets over the SAME flat word buffer, ONE
+# binary_join. Fully-duplicate docs vanish (SQL: inner GROUP BY over
+# surviving rows).
+
+PARA_WORDS = 20
+
+
+def q_doc_paragraph_dedup(sf_dir: str):
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = adaptive_n_buckets(table_bytes(sf_dir, "documents"))
+
+    def explode(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t["text"], " ")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        n_paras = -(-counts // PARA_WORDS)  # ceil; '' splits to [''], so >=1
+        total = int(n_paras.sum())
+        first = np.repeat(np.cumsum(n_paras) - n_paras, n_paras)
+        intra = np.arange(total, dtype=np.int64) - first
+        starts = np.repeat(offs[:-1], n_paras) + PARA_WORDS * intra
+        new_offs = pa.array(np.append(starts, offs[-1]), pa.int32())
+        paras = pc.binary_join(
+            pa.ListArray.from_arrays(new_offs, la.values), " "
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, n_paras), pa.int64()),
+                "para_idx": pa.array(intra + 1, pa.int64()),
+                "para": paras,
+                "n_paras": pa.array(np.repeat(n_paras, n_paras), pa.int64()),
+            }
+        )
+
+    def winners(df: "pd.DataFrame") -> "pd.DataFrame":
+        # first occurrence by (doc_id, para_idx) per exact paragraph text;
+        # the bucket holds every row of its paragraphs, so this is global
+        return df.sort_values(["doc_id", "para_idx"]).drop_duplicates(
+            "para", keep="first"
+        )
+
+    def reassemble(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["doc_id", "para_idx"])
+        out = (
+            df.groupby("doc_id", sort=False)
+            .agg(
+                text_dedup=("para", " ".join),
+                n_paras=("n_paras", "first"),
+                n_kept=("para", "size"),
+            )
+            .reset_index()
+        )
+        out["n_paras"] = out["n_paras"].astype(np.int64)
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    kept = key_bucketed(exploded, "para", winners, n_buckets=nb)
+    return key_bucketed(kept, "doc_id", reassemble, n_buckets=nb)
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+paras AS (
+  SELECT doc_id, i AS para_idx,
+         array_to_string(
+             parts[((i-1)*{PARA_WORDS}+1):(i*{PARA_WORDS})], ' ') AS para
+  FROM s, unnest(generate_series(
+      1, CAST(ceil(len(parts)/{PARA_WORDS}.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, para_idx, para,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, para_idx) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_paras
+  FROM paras
+)
+SELECT doc_id,
+       string_agg(para, ' ' ORDER BY para_idx) AS text_dedup,
+       CAST(max(n_paras) AS BIGINT) AS n_paras,
+       count(*) AS n_kept
+FROM ranked WHERE rn = 1
+GROUP BY doc_id
+"""
+
+QUERIES["q_doc_paragraph_dedup"] = q_doc_paragraph_dedup
+ORACLE["q_doc_paragraph_dedup"] = PARAGRAPH_DEDUP_SQL
