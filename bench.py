@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q9_nation_profit",
     "q21_sole_late_supplier",
+    # round-4 tail: paragraph dedup + reassembly (two bucketed shuffles)
+    "q_doc_paragraph_dedup",
 ]
 
 
