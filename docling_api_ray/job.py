@@ -30,6 +30,7 @@ def admit_job(
     cfg,
     credit_balance: int | None = None,
     max_shard_bytes: int = 10 << 30,
+    required_cols: tuple[str, ...] = ("doc_id", "spans"),
 ) -> tuple[bool, str, dict]:
     """Admission precheck (M12): refuse work BEFORE running it, the batch
     analog of the reference's credit precheck + upload caps
@@ -54,7 +55,18 @@ def admit_job(
             return False, f"shard over max_shard_bytes: {p} ({size} bytes)", {}
         total_bytes += size
         try:
-            n_docs += pq.ParquetFile(p).metadata.num_rows
+            pf = pq.ParquetFile(p)
+            missing = set(required_cols) - set(pf.schema_arrow.names)
+            if missing:
+                # a wrong --input (e.g. a relational-table dir) must be a
+                # clean refusal, not a mid-pipeline read error
+                return (
+                    False,
+                    f"shard {p} missing required columns {sorted(missing)} "
+                    f"(has {pf.schema_arrow.names})",
+                    {},
+                )
+            n_docs += pf.metadata.num_rows
         except Exception as exc:
             return False, f"unreadable parquet shard {p}: {exc}", {}
     est_credits = n_docs * cfg.min_credits_per_document
@@ -188,6 +200,26 @@ def main() -> None:
         return
 
     if args.n_docs:
+        # refuse to synthesize into a directory holding parquet that is
+        # not a corpus shard — --n-docs pointed at a data directory would
+        # otherwise silently mix generated shards into it
+        foreign = [
+            f
+            for f in glob.glob(os.path.join(args.input, "*.parquet"))
+            if not os.path.basename(f).startswith("part-")
+        ]
+        if foreign:
+            print(
+                json.dumps(
+                    {
+                        "refused": True,
+                        "reason": "--n-docs target contains non-corpus "
+                        f"parquet files: {sorted(os.path.basename(f) for f in foreign)[:5]}",
+                    }
+                )
+            )
+            ray.shutdown()
+            raise SystemExit(2)
         os.makedirs(args.input, exist_ok=True)
         write_corpus(args.input, args.n_docs, seed=args.seed)
 

@@ -137,6 +137,51 @@ def test_admission_precheck(shards):
     assert not ok
 
 
+def test_admission_refuses_wrong_schema(shards, tmp_path):
+    """A shard whose schema lacks the extraction columns (e.g. --input
+    pointed at a relational-table directory) is a clean refusal naming
+    the missing columns, not a mid-pipeline read error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_api_ray.job import admit_job
+
+    bad = str(tmp_path / "customer.parquet")
+    pq.write_table(pa.table({"c_custkey": pa.array([1, 2], pa.int64())}), bad)
+    ok, reason, _ = admit_job(shards + [bad], CFG)
+    assert not ok and "missing required columns" in reason and "spans" in reason
+
+
+def test_n_docs_refuses_foreign_dir(tmp_path):
+    """--n-docs must not synthesize corpus shards into a directory that
+    already holds non-corpus parquet (guards the real data dirs)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "data"
+    src.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1], pa.int64())}),
+        src / "customer.parquet",
+    )
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "docling_api_ray.job",
+            "--input", str(src), "--output", str(tmp_path / "out"),
+            "--n-docs", "10", "--num-cpus", "2",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2, r.stdout + r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["refused"] and "non-corpus" in out["reason"]
+    assert not list(src.glob("part-*.parquet"))  # nothing was written
+
+
 def test_job_status_mid_run(ray_session, shards, tmp_path):
     """job_status reads percent-complete from the manifest at any point —
     before launch, mid-run (simulated crash), and at completion."""
