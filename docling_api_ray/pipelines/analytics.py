@@ -536,7 +536,7 @@ def q_events_moving_avg(sf_dir: str):
             {
                 "user_id": g["user_id"].to_numpy(),
                 "event_id": g["event_id"].to_numpy(),
-                "mavg": np.round(roll.to_numpy(), 4),
+                "mavg": round_sql_double(roll.to_numpy(), 4),
             }
         )
 
@@ -1137,7 +1137,7 @@ def q_lineitem_profile(sf_dir: str):
             {
                 "column": [g["column"].iloc[0]],
                 "stat": [stat],
-                "value": [np.round(float(out), 4)],
+                "value": [float(round_sql_double(float(out), 4))],
             }
         )
 

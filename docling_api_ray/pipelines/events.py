@@ -598,7 +598,9 @@ def q_events_range_join(sf_dir: str):
                 "window_id": t["iid"],
                 "n_purchases": t["n_purchases"],
                 "total_value": pa.array(
-                    np.round(t["tv"].to_numpy(zero_copy_only=False), 2),
+                    round_sql_double(
+                        t["tv"].to_numpy(zero_copy_only=False), 2
+                    ),
                     pa.float64(),
                 ),
             }
@@ -672,7 +674,9 @@ def q_events_user_range_join(sf_dir: str):
                 "window_id": t["iid"],
                 "n_purchases": t["n"],
                 "total_value": pa.array(
-                    np.round(t["val_sum"].to_numpy(zero_copy_only=False), 2),
+                    round_sql_double(
+                        t["val_sum"].to_numpy(zero_copy_only=False), 2
+                    ),
                     pa.float64(),
                 ),
             }

@@ -383,6 +383,25 @@ def _bloom_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
 BLOOM_MERGE_FANIN = 8  # tree-merge arity
 
 
+def _bloom_key_ints(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Map a Bloom key column to the int64 domain the position hash
+    needs: integers pass through; strings go through the shared
+    vectorized polynomial hash (`hash_strings`), so build and probe
+    agree. Safe for semi AND anti: a string hash collision can only make
+    a non-member look probable (it then pays the exact bucketed
+    resolution); a true member can never read as a miss."""
+    typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return hash_strings(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ).view(np.int64)
+    if pa.types.is_integer(typ):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    raise TypeError(
+        f"Bloom key must be integer or string, got {typ}"
+    )
+
+
 def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
     """Distributed tree-merged Bloom build. Tree nodes carry whichever
     representation is SMALLER: a sorted sparse position array (int64,
@@ -400,14 +419,7 @@ def build_bloom(keys_ds: rd.Dataset, key: str, m_bits: int) -> np.ndarray:
     words = (m_bits + 63) // 64
 
     def positions(t: pa.Table) -> pa.Table:
-        if not pa.types.is_integer(t.schema.field(key).type):
-            raise TypeError(
-                f"build_bloom: key column {key!r} must be integer "
-                f"(got {t.schema.field(key).type}); the position hash is "
-                "int64-only. Use bucketed_semi_anti(string_key=True) for "
-                "string keys."
-            )
-        vals = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = _bloom_key_ints(t[key])
         pos = np.unique(_bloom_positions(vals, m_bits).ravel())
         return pa.table({"pos": pa.array(pos, pa.int64())})
 
@@ -470,12 +482,15 @@ def bloom_semi_anti(
     anti: bool = False,
     fact_schema: pa.Schema | None = None,
     post=None,
+    string_key: bool = False,
 ) -> rd.Dataset:
     """bucketed_semi_anti with a Bloom prefilter on the fact side.
 
-    INTEGER KEYS ONLY (both sides): the Bloom position hash is int64
-    (build_bloom raises TypeError otherwise). String-keyed semi/anti
-    joins go through plain bucketed_semi_anti(string_key=True).
+    Keys may be integer or string (both sides must be the same type):
+    strings are mapped into the int64 position-hash domain via the
+    shared `hash_strings` kernel (see `_bloom_key_ints` for why a
+    collision cannot break semi OR anti semantics). The exact bucketed
+    resolution below still compares original values.
 
     semi: only probable members enter the shuffle (exact resolution
     unchanged). anti: definite non-members (Bloom misses) stream straight
@@ -491,7 +506,7 @@ def bloom_semi_anti(
         import ray as _ray
 
         bm = _ray.get(bm_ref)
-        vals = t[fact_key].to_numpy(zero_copy_only=False)
+        vals = _bloom_key_ints(t[fact_key])
         return t.filter(pa.array(bloom_contains(bm, vals, m_bits)))
 
     probable = fact_ds.map_batches(keep_probable, batch_format="pyarrow")
@@ -504,6 +519,7 @@ def bloom_semi_anti(
         anti=anti,
         fact_schema=fact_schema,
         post=post,
+        string_key=string_key,
     )
     if not anti:
         return resolved
@@ -512,7 +528,7 @@ def bloom_semi_anti(
         import ray as _ray
 
         bm = _ray.get(bm_ref)
-        vals = t[fact_key].to_numpy(zero_copy_only=False)
+        vals = _bloom_key_ints(t[fact_key])
         out = t.filter(pa.array(~bloom_contains(bm, vals, m_bits)))
         return post(out) if post is not None else out
 

@@ -40,7 +40,15 @@ from .join import (
     table_bytes,
     table_rows,
 )
-from .util import agg_to_table, broadcast, key_bucketed, read, read_small, round_col
+from .util import (
+    agg_to_table,
+    broadcast,
+    key_bucketed,
+    read,
+    read_small,
+    round_col,
+    round_sql_double,
+)
 
 CUT = datetime(1998, 1, 1)
 
@@ -1606,7 +1614,7 @@ def q14_promo_revenue(sf_dir: str):
     if not d or d.get("t") in (None, 0.0):
         ratio = float("nan")  # SQL: sum over zero rows is NULL
     else:
-        ratio = float(np.round(100.0 * d["p"] / d["t"], 4))
+        ratio = float(round_sql_double(100.0 * d["p"] / d["t"], 4))
     return pa.table({"promo_ratio": pa.array([ratio], pa.float64())})
 
 
@@ -1672,7 +1680,7 @@ def q17_small_qty_revenue(sf_dir: str):
     if not d or not d.get("n"):
         out = float("nan")  # SQL: sum over zero rows is NULL
     else:
-        out = float(np.round(d["s"] / 7.0, 2))
+        out = float(round_sql_double(d["s"] / 7.0, 2))
     return pa.table({"avg_yearly": pa.array([out], pa.float64())})
 
 
@@ -2351,7 +2359,7 @@ def q19_brand_band_revenue(sf_dir: str):
     if not d or not d.get("n"):
         rev = float("nan")  # SQL: sum over zero rows is NULL
     else:
-        rev = float(np.round(d["s"], 2))
+        rev = float(round_sql_double(d["s"], 2))
     return pa.table({"revenue": pa.array([rev], pa.float64())})
 
 
@@ -2722,7 +2730,7 @@ def q8_market_share(sf_dir: str):
     )
 
     def fin(t: pa.Table) -> pa.Table:
-        share = np.round(
+        share = round_sql_double(
             t["num"].to_numpy(zero_copy_only=False)
             / t["den"].to_numpy(zero_copy_only=False),
             4,

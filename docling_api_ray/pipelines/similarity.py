@@ -646,7 +646,7 @@ def q_embedding_pq(sf_dir: str):
             {
                 "vec_id": pa.array(vids, pa.int64()),
                 "codes": _list_array(codes.astype(np.int32), pa.int32()),
-                "recon_err": pa.array(np.round(err, 6), pa.float64()),
+                "recon_err": pa.array(round_sql_double(err, 6), pa.float64()),
             }
         )
 
@@ -710,7 +710,7 @@ def q_embedding_label_centroid(sf_dir: str):
             {
                 "label": t["label"],
                 "dim": t["dim"],
-                "centroid": pa.array(np.round(s / n, 6), pa.float64()),
+                "centroid": pa.array(round_sql_double(s / n, 6), pa.float64()),
             }
         )
 

@@ -21,7 +21,7 @@ import ray
 from ray.data.aggregate import Count, Min, Sum
 
 from .join import adaptive_n_buckets, bucket_col, table_bytes
-from .util import key_bucketed, read, round_col
+from .util import key_bucketed, read, round_col, round_sql_double
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 PUNCT_RE = r"[.!?,;]"
@@ -651,7 +651,9 @@ def _verify_pairs(g: pa.Table) -> pa.Table:
         {
             "doc_a": pa.array(a[first_row[keep]], type=pa.int64()),
             "doc_b": pa.array(b[first_row[keep]], type=pa.int64()),
-            "jaccard": pa.array(np.round(jac[keep], 4), type=pa.float64()),
+            "jaccard": pa.array(
+                round_sql_double(jac[keep], 4), type=pa.float64()
+            ),
         }
     )
 
@@ -1199,7 +1201,7 @@ def q_doc_tfidf(sf_dir: str):
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # tf rows are unique per (doc, term), so per-term row count IS df
         df_col = g.groupby("term")["doc_id"].transform("count")
-        score = np.round(
+        score = round_sql_double(
             g["tf"].to_numpy() * np.log(float(n_docs) / df_col.to_numpy()), 4
         )
         return pd.DataFrame(
@@ -1471,7 +1473,9 @@ def lm_score_pipeline(sf_dir: str, top_v: int):
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "lm_score": pa.array(np.round(scores, 4), pa.float64()),
+                "lm_score": pa.array(
+                    round_sql_double(scores, 4), pa.float64()
+                ),
             }
         )
 
@@ -1614,7 +1618,7 @@ def q_doc_compress_ratio(sf_dir: str):
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "compress_ratio": pa.array(
-                    np.round(np.array(out), 4), pa.float64()
+                    round_sql_double(np.array(out), 4), pa.float64()
                 ),
             }
         )
@@ -1722,7 +1726,9 @@ def q_doc_priority_sample(sf_dir: str):
                 "doc_id": t["doc_id"],
                 "n_chars": t["n_chars"],
                 "priority": pa.array(
-                    np.round(t["priority"].to_numpy(zero_copy_only=False), 4),
+                    round_sql_double(
+                        t["priority"].to_numpy(zero_copy_only=False), 4
+                    ),
                     pa.float64(),
                 ),
             }
@@ -2698,7 +2704,9 @@ def q_doc_bm25(sf_dir: str):
                     {
                         "doc_id": pa.array(ids[m], pa.int64()),
                         "term": pa.array([term] * int(m.sum()), pa.string()),
-                        "bm25": pa.array(np.round(idf * frac, 4), pa.float64()),
+                        "bm25": pa.array(
+                            round_sql_double(idf * frac, 4), pa.float64()
+                        ),
                     }
                 )
             )
@@ -2776,7 +2784,9 @@ def q_doc_entropy(sf_dir: str):
         return pa.table(
             {
                 "doc_id": pa.array(ids[m], pa.int64()),
-                "entropy": pa.array(np.round(h[m], 4), pa.float64()),
+                "entropy": pa.array(
+                    round_sql_double(h[m], 4), pa.float64()
+                ),
             }
         )
 
