@@ -133,6 +133,29 @@ def main() -> None:
         print(json.dumps(job_status(args.output)))
         return
 
+    if args.n_docs:
+        # refuse to synthesize into a directory holding parquet that is
+        # not a corpus shard — --n-docs pointed at a data directory would
+        # otherwise silently mix generated shards into it. Pure
+        # filesystem check, so it runs BEFORE ray.init (ADVICE r04): a
+        # refused launch never pays Ray startup.
+        foreign = [
+            f
+            for f in glob.glob(os.path.join(args.input, "*.parquet"))
+            if not os.path.basename(f).startswith("part-")
+        ]
+        if foreign:
+            print(
+                json.dumps(
+                    {
+                        "refused": True,
+                        "reason": "--n-docs target contains non-corpus "
+                        f"parquet files: {sorted(os.path.basename(f) for f in foreign)[:5]}",
+                    }
+                )
+            )
+            raise SystemExit(2)
+
     # heap reuse for big allocations (see BASELINE.md round-2 noise note);
     # must precede ray.init so workers inherit
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
@@ -200,26 +223,6 @@ def main() -> None:
         return
 
     if args.n_docs:
-        # refuse to synthesize into a directory holding parquet that is
-        # not a corpus shard — --n-docs pointed at a data directory would
-        # otherwise silently mix generated shards into it
-        foreign = [
-            f
-            for f in glob.glob(os.path.join(args.input, "*.parquet"))
-            if not os.path.basename(f).startswith("part-")
-        ]
-        if foreign:
-            print(
-                json.dumps(
-                    {
-                        "refused": True,
-                        "reason": "--n-docs target contains non-corpus "
-                        f"parquet files: {sorted(os.path.basename(f) for f in foreign)[:5]}",
-                    }
-                )
-            )
-            ray.shutdown()
-            raise SystemExit(2)
         os.makedirs(args.input, exist_ok=True)
         write_corpus(args.input, args.n_docs, seed=args.seed)
 

@@ -374,7 +374,9 @@ def generate_dataset(n_docs: int, seed: int = 42, parallelism: int = -1):
 
 def write_corpus(path: str, n_docs: int, seed: int = 42, num_files: int = 0) -> list[str]:
     """Write the corpus as partitioned parquet (one directory, many part
-    files — resumable-output layout). Returns the file paths."""
+    files — resumable-output layout). Returns the file paths. Stale
+    part-*.parquet files from a previous larger synthesis are removed."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
@@ -404,4 +406,10 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, num_files: int = 0) -> 
         tbl = tbl.sort_by("n_spans")
         pq.write_table(tbl, p, row_group_size=200)
         paths.append(p)
+    # a previous larger synthesis into the same dir leaves part files
+    # beyond the new count; later globs would silently mix them into the
+    # corpus (ADVICE r04) — remove anything this synthesis didn't write
+    for stale in glob.glob(os.path.join(path, "part-*.parquet")):
+        if stale not in paths:
+            os.remove(stale)
     return paths

@@ -200,3 +200,17 @@ def test_job_status_mid_run(ray_session, shards, tmp_path):
     st = job_status(out)
     assert st["status"] == "complete" and st["percent_complete"] == 100.0
     assert st["rows_written"] > 0
+
+
+def test_write_corpus_removes_stale_parts(tmp_path):
+    # ADVICE r04: a prior larger synthesis into the same dir must not
+    # leave extra part files that later globs silently mix in
+    from docling_api_ray import synth
+
+    d = tmp_path / "c"
+    big = synth.write_corpus(str(d), 100, seed=1, num_files=5)
+    assert len(big) == 5
+    small = synth.write_corpus(str(d), 20, seed=1, num_files=1)
+    assert len(small) == 1
+    left = sorted(p.name for p in d.glob("part-*.parquet"))
+    assert left == ["part-00000.parquet"], left
