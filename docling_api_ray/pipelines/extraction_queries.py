@@ -4,8 +4,13 @@ The extraction core runs over the interleaved-span corpus (BASELINE.json
 `input_hint` shape), which the testdata directory does not contain — so
 each entry synthesizes the corpus deterministically, sized from the
 `documents` table of the given sf_dir (seeded; cached under /tmp by size).
-Not SQL-expressible → rows-only driver check; the strong span-equality
-gate lives in pytest (tests/test_pipeline.py) per FIXTURES.md.
+The parse itself is not SQL-expressible, but the driver check is still a
+hash check for most of the family: admission/billing columns are
+recomputed by DuckDB from the raw spans (dynamic_oracles), and the
+flagship flat output is compared against an ORACLE-MATERIALIZED parquet
+(oracle.py, the independent reference implementation) via read_parquet.
+The strong span-equality gate additionally lives in pytest
+(tests/test_pipeline.py) per FIXTURES.md.
 """
 
 from __future__ import annotations
@@ -120,9 +125,9 @@ def xlsx_corpus_for(sf_dir: str, factor: int = 1) -> str:
 def q_extract_xlsx(sf_dir: str):
     """xlsx_xml registered format (SpreadsheetML worksheets → table spans;
     completes the OOXML family, spec x1-x5): spreadsheet corpus → full
-    extraction → flat results. Rows-only driver check; span parity vs the
-    oracle is pytest-gated (tests/test_ooxml.py xlsx fuzz + corpus
-    agreement)."""
+    extraction → flat results. Hash-checked vs the oracle-materialized
+    flat parquet (dynamic_oracles); span parity additionally pytest-gated
+    (tests/test_ooxml.py xlsx fuzz + corpus agreement)."""
     path = xlsx_corpus_for(sf_dir)
     ds = build_extraction(path, PipelineConfig())
     return ds.map_batches(flatten, batch_format="pyarrow")
@@ -155,7 +160,8 @@ def flatten(batch: pa.Table) -> pa.Table:
 
 
 def q_extract_documents(sf_dir: str):
-    """Flagship: synth corpus → full extraction pipeline → flat results."""
+    """Flagship: synth corpus → full extraction pipeline → flat results.
+    Hash-checked vs the oracle-materialized flat parquet (dynamic_oracles)."""
     path = corpus_for(sf_dir)
     ds = build_extraction(path, PipelineConfig())
     return ds.map_batches(flatten, batch_format="pyarrow")
@@ -322,6 +328,59 @@ docs AS (
 )"""
 
 
+def _flat_oracle_for(corpus_path: str, tag: str) -> str:
+    """Materialize the ORACLE's expected flat extraction output for the
+    deterministic corpus at `corpus_path` as a SIBLING parquet (never
+    inside the corpus dir — the corpus glob would pick it up) and return
+    its path. oracle.extract_corpus is the independent sequential
+    reference implementation (spec.py contract); markdown uses the same
+    span→markdown serialization the spec defines. This upgrades the
+    flagship from rows-only to a hash-checked driver row (VERDICT r04
+    item 4): DuckDB just carries the materialized expected table via
+    read_parquet. Cached next to the corpus (same /tmp lifecycle — both
+    are deleted together when the spec changes, CLAUDE.md)."""
+    import glob as _glob
+
+    from .. import oracle
+    from ..stages.serialize import spans_to_markdown
+
+    out = corpus_path.rstrip("/") + f"_oracle_{tag}.parquet"
+    if os.path.exists(out):
+        return out
+    cfg = PipelineConfig()
+    ids: list[str] = []
+    pages: list[int] = []
+    status: list[str] = []
+    error: list[str] = []
+    n_spans: list[int] = []
+    md: list[str] = []
+    for p in sorted(_glob.glob(os.path.join(corpus_path, "*.parquet"))):
+        rows = pq.read_table(p, columns=["doc_id", "spans"]).to_pylist()
+        for r in oracle.extract_corpus(rows, cfg):
+            ids.append(r["doc_id"])
+            pages.append(r["pages"])
+            status.append(r["status"])
+            error.append(r["error"])
+            n_spans.append(len(r["spans"]))
+            md.append(
+                spans_to_markdown(r["spans"]) if r["status"] == "success" else ""
+            )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.string()),
+            "pages": pa.array(pages, pa.int32()),
+            "status": pa.array(status, pa.string()),
+            "error": pa.array(error, pa.string()),
+            "n_spans": pa.array(n_spans, pa.int32()),
+            "markdown": pa.array(md, pa.string()),
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, out)
+    return out
+
+
 def dynamic_oracles() -> dict[str, str]:
     """Oracle SQL whose text embeds the deterministic corpus path —
     generated (and the corpus materialized) at oracle_sql() time, not at
@@ -344,7 +403,24 @@ SELECT CAST(sum(pages) AS BIGINT) AS total_pages,
        count(*) AS total_rows
 FROM result
 """
-    return {
+    out = {
         "q_extract_credits": credits_sql,
         "q_extract_usage_summary": usage_sql,
     }
+    try:
+        flat = _flat_oracle_for(path, "flat")
+        out["q_extract_documents"] = (
+            "SELECT doc_id, pages, status, error, n_spans, markdown "
+            f"FROM read_parquet('{flat}')"
+        )
+        xpath = xlsx_corpus_for(_ORACLE_SF)
+        xflat = _flat_oracle_for(xpath, "flat")
+        out["q_extract_xlsx"] = (
+            "SELECT doc_id, pages, status, error, n_spans, markdown "
+            f"FROM read_parquet('{xflat}')"
+        )
+    except Exception:
+        # oracle materialization failure must not take down the two
+        # admission/billing oracles above
+        pass
+    return out

@@ -897,12 +897,61 @@ def q_doc_simhash_pairs(sf_dir: str):
     )
 
 
+def q_doc_source_stats(sf_dir: str):
+    """Per-source corpus rollup (n_docs, distinct langs, mean chars) —
+    the provenance summary a crawl-mixture pipeline reports per ingest
+    source. Per-batch (source, lang) partials combine BEFORE the single
+    tiny groupby (combiner pattern); source cardinality is output-sized,
+    so the per-group finalize is cheap."""
+    ds = read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+                "chars": pc.cast(g["n_chars_sum"], pa.int64()),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        chars = int(g["chars"].sum())
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": np.array([n], dtype="int64"),
+                "n_langs": np.array([g["lang"].nunique()], dtype="int64"),
+                "avg_chars": [float(round_sql_double(chars / n, 4))],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+SOURCE_STATS_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(sum(n_chars) * 1.0 / count(*), 4) AS avg_chars
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "q_doc_token_counts": q_doc_token_counts,
     "q_doc_quality": q_doc_quality,
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_lang_stats": q_doc_lang_stats,
+    "q_doc_source_stats": q_doc_source_stats,
     "q_doc_langid": q_doc_langid,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash": q_doc_simhash,
@@ -915,6 +964,7 @@ ORACLE = {
     "q_doc_exact_dedup": EXACT_DEDUP_SQL,
     "q_doc_fingerprint": FINGERPRINT_SQL,
     "q_doc_lang_stats": LANG_STATS_SQL,
+    "q_doc_source_stats": SOURCE_STATS_SQL,
     "q_doc_langid": _langid_sql(),
     # q_doc_minhash_pairs / q_doc_simhash(_pairs) / q_doc_rolling_fingerprint:
     # not SQL-expressible (blake2b token hashes) → rows-only driver check;

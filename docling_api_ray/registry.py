@@ -34,83 +34,123 @@ _MODULES = (relational, events, analytics, text, similarity, extraction_queries)
 DRIVER_WINDOW = 50
 
 _PRIORITY = (
-    # --- never driver-evaluated (r03 window overflow) — FIRST until each
-    #     has a CORRECTNESS row (VERDICT r03 "what's wrong" #1)
-    "q_doc_priority_sample",
-    "q_doc_split_assign",
+    # ============== round-5 window (exactly DRIVER_WINDOW entries) =======
+    # --- new in r05 — first driver rows
+    "q_embedding_dup_clusters",  # CC kernel vs WITH RECURSIVE oracle (VERDICT #5)
+    "q_doc_source_stats",        # per-source provenance rollup (VERDICT #8)
+    # --- changed in r05: every hash-checked finalizer that moved from
+    #     np.round(x, d) to util.round_sql_double (VERDICT #3) needs a
+    #     fresh driver row on the new kernel
+    "q_events_range_join",
+    "q_events_user_range_join",
+    "q_embedding_label_centroid",
     "q_events_moving_avg",
+    "q_lineitem_profile",
+    "q_doc_tfidf",
+    "q_doc_lm_score",
+    "q_doc_priority_sample",
+    "q_doc_bm25",
+    "q_doc_entropy",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_brand_band_revenue",
+    "q8_market_share",
+    # rows-only siblings of the same conversion
+    "q_doc_minhash_pairs",
+    "q_doc_compress_ratio",
+    "q_embedding_pq",
+    # bloom key path gained _bloom_key_ints (string support)
+    "q_semi_join_bloom",
+    # extraction flagship + xlsx upgraded from rows-only to HASH-CHECKED
+    # vs the oracle-materialized flat parquet (VERDICT #4); credits /
+    # usage_summary ride the same (edited) dynamic_oracles() mechanism
+    "q_extract_documents",
+    "q_extract_xlsx",
+    "q_extract_credits",
+    "q_extract_usage_summary",
+    # --- VERDICT r04 item 2: rotated-out entries whose r04 code change
+    #     never received a driver row on current code
+    "q5_region_revenue",     # auto_equi_join 3-join composition
+    "q_ann_ivf",             # zero-copy _stack family
+    "q_ann_lsh",
+    "q_embedding_label_stats",
+    "q_knn_label_votes",
+    "q_full_outer_status",   # hash_bucket_col rewrite
+    "q_extract_ooxml",
+    "q_extract_kind_stats",
+    "q_lineitem_quantiles",  # r03 bench-tail pair, last row r02
+    "q_orders_running_total",
+    # --- oldest-evidence refresh: unchanged code, but last driver row is
+    #     r02 — periodic re-evidencing beats letting rows go stale
+    "q1_pricing_summary",
+    "q6_revenue_filter",
+    "q_acctbal_buckets",
+    "q_cust_dense_rank",
+    "q_distinct_flags",
+    "q_doc_exact_dedup",
+    "q_doc_fingerprint",
+    "q_events_daily_distinct",
+    "q_events_hourly",
+    "q_events_lag_delta",
+    "q_events_last_event",
+    "q_events_user_stats",
+    "q_lineitem_global_stats",
+    "q_lineitem_unpivot",
+    "q_orders_by_month",
+    "q_orders_rollup",
+    # ---------------- below here = past the driver window ----------------
+    # Rotation rationale (policy: rotate out entries that are r04
+    # hash-green AND unchanged in r05, or whose r05 change is a shared
+    # kernel already represented in-window by siblings):
+    # - The r04 TPC-H block (q2/q3/q4/q7/q9/q11/q12/q13/q15/q16/q18/
+    #   q20/q21/q22, q_orders_cube, q_orders_percent_rank, q10) is
+    #   double-green (r03+r04 or r04 hash-green) and untouched in r05
+    #   except the four ratio-rounding members kept in-window above.
+    # - q_dup_clusters_distributed: rows-only by nature (LSH candidate
+    #   generation is not SQL-expressible); the shared cc_min_label
+    #   kernel is now HASH-CHECKED in-window via q_embedding_dup_clusters.
+    # - q_word_topk / q_word_heavy_hitters / q_lang_heavy_hitters /
+    #   q_doc_decontaminate / q_doc_mixture_resample /
+    #   q_doc_temperature_resample / q_doc_bpe_tokens /
+    #   q_doc_paragraph_dedup / q_doc_trimmed_stats / q_cust_cume_dist /
+    #   q_doc_split_assign / q3_top_orders / q_ann_topk /
+    #   q_embedding_near_dup / q_events_sessionize etc.: r04 hash-green,
+    #   unchanged in r05, pytest-gated at both SFs.
+    "q3_top_orders",
+    "q_ann_topk",
+    "q_embedding_near_dup",
+    "q_word_topk",
+    "q_word_heavy_hitters",
     "q_lang_heavy_hitters",
     "q_lineitem_corr_by_flag",
     "q_cust_cume_dist",
     "q_dup_clusters_distributed",
-    # --- changed in r04 — need fresh driver evidence
-    "q_word_topk",           # tokenization vectorized (dictionary-encode kernel)
-    "q_word_heavy_hitters",  # sketch + exact pass vectorized
-    "q_doc_lm_score",        # per-token scoring loop -> searchsorted table
-    "q3_top_orders",         # wired through auto_equi_join
-    "q_semi_join_bloom",     # tree-merged Bloom build
-    "q_doc_decontaminate",   # oracle SQL regex-escape parity (ADVICE)
-    "q_doc_mixture_resample",  # empty-input guards (ADVICE)
-    "q_ann_topk",            # zero-copy embedding stacking (all similarity)
-    "q_embedding_near_dup",
-    # --- new in r04
-    "q_extract_xlsx",        # xlsx_xml format (OOXML family complete)
-    "q_events_range_join",   # non-equi interval join (time-bucketed)
-    "q_orders_cube",         # CUBE grouping sets from one fact pass
-    "q_doc_trimmed_stats",   # rank-exact trimmed mean per group
-    "q12_late_lines",        # conditional agg over fact-fact join (Q12 shape)
-    "q_doc_temperature_resample",  # sqrt-temperature domain reweighting
-    "q_embedding_pq",        # product-quantization codes (rows-only)
-    "q_doc_bpe_tokens",      # GPT-2-style pretokenizer counts (shared RE2)
-    "q_orders_percent_rank", # global quantile normalization (range-partitioned)
-    "q_events_user_range_join",  # band join (equi key + time range)
-    "q_embedding_label_centroid",  # vector aggregate (per-label mean embedding)
-    "q_doc_neardup_keep",    # near-dedup keep-longest decision table
-    "q4_order_priority",     # EXISTS semi-join -> grouped count (Q4 shape)
-    "q14_promo_revenue",     # conditional revenue ratio over dim join (Q14)
-    "q17_small_qty_revenue", # correlated per-key avg threshold (Q17 shape)
-    "q22_idle_customers",    # scalar threshold + windowed anti-join (Q22)
-    "q7_nation_volume",      # two-nation volume flows, 3-leg join (Q7 shape)
-    "q15_top_supplier",      # aggregate -> argmax over the aggregate (Q15)
-    "q13_count_distribution",  # per-key count histogram incl. zero bucket (Q13)
-    "q18_large_orders",      # HAVING-filtered key set re-joined to facts (Q18)
-    "q19_brand_band_revenue",  # disjunctive join predicates, scalar reduce (Q19)
-    "q16_brand_supplier_count",  # distinct-count after anti-join (Q16 shape)
-    "q11_important_parts",   # HAVING vs global-scalar fraction (Q11 shape)
-    "q8_market_share",       # market-share ratio by year, 5 dim legs (Q8)
-    "q20_heavy_suppliers",   # nested semi gated by per-key HAVING (Q20)
-    "q21_sole_late_supplier",  # per-order EXISTS/NOT-EXISTS set logic (Q21)
-    "q2_min_price_supplier", # per-key argmin + join back (Q2 shape)
-    "q9_nation_profit",      # nation x year profit, exact e4-integer sums (Q9)
-    "q_doc_bm25",            # BM25 relevance vs fixed query terms, zero-shuffle
-    "q_doc_entropy",         # per-doc token-distribution entropy (zero shuffle)
-    "q_doc_paragraph_dedup", # MassiveText line-dedup + document reassembly
-    # --- extraction family (DuckDB-oracle upgrade attempted in r04)
-    "q_extract_documents",
-    "q_extract_credits",
-    "q_extract_usage_summary",
-    # ---------------- below here = past the driver window ----------------
-    # (the 50 entries above are exactly: 7 never-evaluated + the
-    # changed-in-r04 block + every r04-new operator + the extraction
-    # family's flagship and its two hash-checked dynamic oracles)
-    #
-    # Former stable representatives, displaced by the r04 second-half
-    # additions — each holds green rows in CORRECTNESS_r01-r03 and is
-    # pytest-gated at both SFs. The two r03 bench-tail entries
-    # (quantiles, running_total) were re-attributed to host noise by the
-    # paired re-measure recorded in BASELINE.md, so fresh driver rows
-    # for them are no longer load-bearing.
-    # q5_region_revenue: rotated out for q_doc_paragraph_dedup — r03
-    # hash-green, its r04 change (auto_equi_join wiring) is represented
-    # in-window by sibling q3_top_orders, and the bucketed path is gated
-    # by tests/test_join_strategy.py at both SFs.
-    "q5_region_revenue",
-    "q1_pricing_summary",
-    "q6_revenue_filter",
-    "q_lineitem_quantiles",
-    "q_orders_running_total",
-    "q_doc_exact_dedup",
-    "q_doc_minhash_pairs",
+    "q_doc_decontaminate",
+    "q_doc_mixture_resample",
+    "q_doc_temperature_resample",
+    "q_doc_bpe_tokens",
+    "q_doc_paragraph_dedup",
+    "q_doc_trimmed_stats",
+    "q_doc_split_assign",
+    "q_doc_neardup_keep",
+    "q_orders_cube",
+    "q_orders_percent_rank",
+    "q4_order_priority",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q13_count_distribution",
+    "q18_large_orders",
+    "q16_brand_supplier_count",
+    "q11_important_parts",
+    "q20_heavy_suppliers",
+    "q21_sole_late_supplier",
+    "q2_min_price_supplier",
+    "q9_nation_profit",
+    "q12_late_lines",
+    "q10_returned_items",
+    "q_top_orders_per_segment",
+    "q_nation_customer_stats",
     "q_media_features",
     "q_media_frame_sample",
     "q_doc_curation",
@@ -119,54 +159,21 @@ _PRIORITY = (
     "q_events_sessionize",
     "q_cust_order_counts",
     "q_top_customers",
-    # repeatedly-green, unchanged entries rotated out for the r04 TPC-H
-    # additions (each holds green rows in CORRECTNESS_r01-r03):
-    # q_ann_ivf / q_ann_lsh: r03-green; the r04 zero-copy _stack change is
-    # hash-gated by tests/test_dedup_similarity.py at both SFs, and
-    # q_ann_topk + q_embedding_near_dup stay in-window as its
-    # driver-checked representatives.
-    "q_ann_ivf",
-    "q_ann_lsh",
-    # q_embedding_label_stats / q_knn_label_votes: same rationale — r03
-    # hash-green, r04 change is the shared zero-copy _stack kernel already
-    # represented in-window by q_ann_topk + q_embedding_near_dup.
-    "q_embedding_label_stats",
-    "q_knn_label_votes",
-    # q_embedding_clusters (rows-only r03) same zero-copy rationale;
-    # q_full_outer_status r03-green — the r04 hash_bucket_col change is
-    # gated by the identical-bucket-assignment test in tests/test_join.py.
     "q_embedding_clusters",
-    "q_full_outer_status",
-    # q_extract_ooxml: rows-only r03 row; DOCX/PPTX span parity is gated
-    # by pytest span-equality + fuzz, and q_extract_xlsx (r04-new, same
-    # OOXML seam) remains in-window.
-    "q_extract_ooxml",
-    # q_extract_kind_stats: rows-only r03 row, unchanged dispatch logic;
-    # the extraction family keeps 4 in-window entries incl. both
-    # hash-checked dynamic-oracle ones (credits, usage_summary).
-    "q_extract_kind_stats",
-    "q10_returned_items",
-    "q_top_orders_per_segment",
-    "q_nation_customer_stats",
     "q_intersect_all_custkeys",
-    # repeatedly-green, unchanged entries and rows-only twins of
-    # SQL-checked ops — fully registered and pytest-gated.
     "q_except_all_custkeys",
     "q_price_quantiles_by_flag",
     "q_doc_chunks",
     "q_doc_sample",
     "q_doc_stratified_sample",
     "q_doc_explode_tokens",
-    "q_doc_tfidf",
     "q_doc_rolling_fingerprint",
     "q_dup_clusters",
     "q_price_quantiles_sketch",
     "q_events_json_extract",
     "q_events_scrub",
     "q_events_user_hll",
-    "q_doc_compress_ratio",
     "q_orders_global_rownum",
-    "q_lineitem_profile",
     "q_doc_token_counts",
     "q_doc_quality",
     "q_doc_langid",
@@ -181,7 +188,6 @@ _PRIORITY = (
     "q_intersect_customers",
     "q_union_distinct_customers",
     "q_events_retention",
-    "q_events_lag_delta",
     "q_orders_pivot",
     "q_doc_lang_stats",
     "q_doc_simhash",
