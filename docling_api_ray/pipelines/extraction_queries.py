@@ -35,6 +35,11 @@ def corpus_for(sf_dir: str, factor: int = 4) -> str:
     path = f"/tmp/docling_ray_corpus/n{n_docs}_s{SEED}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
+        import shutil
+
+        # a marker-less dir is a crashed/killed partial synthesis; its
+        # part files would silently mix with the regeneration's output
+        shutil.rmtree(path, ignore_errors=True)
         import ray
 
         if n_docs > 10_000 and ray.is_initialized():
