@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "q21_sole_late_supplier",
     # round-4 tail: paragraph dedup + reassembly (two bucketed shuffles)
     "q_doc_paragraph_dedup",
+    # round-5 additions
+    "q_embedding_dup_clusters",
+    "q_doc_source_stats",
 ]
 
 

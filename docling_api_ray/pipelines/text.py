@@ -2202,14 +2202,16 @@ QUERIES["q_dup_clusters"] = q_dup_clusters
 # path for dup-cluster assignment when even the verified near-dup PAIR
 # set outgrows the driver (q_dup_clusters' union-find is output-bounded
 # but still driver-resident). Each round: every node offers its current
-# label to its neighbors through ONE bucketed equi-join, labels take the
-# min (node-grained groupby), repeat. Near-dup clusters are near-cliques
-# (diameter ≤ 2-3), so a handful of rounds converges; convergence is
-# PROVEN per run by one extra round that must change nothing — no driver
-# graph state at any point, all streams node- or edge-grained.
+# label to its neighbors through one bucketed equi-join, a second join
+# folds in the label-of-the-label (pointer halving → O(log diameter)
+# rounds even on chain/threshold graphs, not just near-clique dup
+# groups), labels take the min (node-grained groupby), repeat.
+# Convergence is PROVEN per run by one extra round that must change
+# nothing — no driver graph state at any point, all streams node- or
+# edge-grained, per-round block count explicitly bounded (lbl_blocks).
 
 
-def cc_min_label(pairs: "rd.Dataset", n_buckets: int, max_rounds: int = 6):
+def cc_min_label(pairs: "rd.Dataset", n_buckets: int, max_rounds: int = 24):
     import ray.data as rd  # noqa: F401  (type only)
 
     from .join import bucketed_equi_join
@@ -2246,6 +2248,13 @@ def cc_min_label(pairs: "rd.Dataset", n_buckets: int, max_rounds: int = 6):
 
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
     lbl_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+    ren_schema = pa.schema([("nd", pa.int64()), ("lb", pa.int64())])
+    # labels are node-grained (tiny vs edges): without an explicit bound
+    # the per-round block count COMPOUNDS (join output blocks ≈ both
+    # inputs' blocks; union adds more; aggregate preserves input block
+    # count) — measured ~2.4×/round at sf1, turning a seconds-long round
+    # into 943 s of per-block overhead by round 3. Coalesce each round.
+    lbl_blocks = max(2, n_buckets // 8)
 
     def one_round(lbls):
         # neighbors' offers: edges ⋈ labels on src → (dst, lbl of src)
@@ -2261,10 +2270,32 @@ def cc_min_label(pairs: "rd.Dataset", n_buckets: int, max_rounds: int = 6):
         ).map_batches(
             lambda t: t.rename_columns(["node", "lbl"]), batch_format="pyarrow"
         )
+        # pointer-halving shortcut: node → label-of-its-label. Labels are
+        # min-monotone, so lbl(lbl(v)) ≤ lbl(v); folding it in makes
+        # label distance halve per round — O(log diameter) convergence on
+        # chain/random graphs instead of O(diameter) (the near-clique
+        # assumption of the original 6-round budget does NOT hold for
+        # threshold-graph edge sets at scale; found by the sf1 replica).
+        short = bucketed_equi_join(
+            lbls.map_batches(
+                lambda t: t.rename_columns(["nd", "lb"]), batch_format="pyarrow"
+            ),
+            "lb",
+            lbls,
+            "node",
+            ren_schema,
+            lbl_schema,
+            n_buckets,
+            post=lambda t: t.select(["nd", "lbl"]),
+        ).map_batches(
+            lambda t: t.rename_columns(["node", "lbl"]), batch_format="pyarrow"
+        )
         return (
-            offers.union(lbls)
+            offers.union(short)
+            .union(lbls)
             .groupby("node")
             .aggregate(Min("lbl", alias_name="lbl"))
+            .repartition(lbl_blocks, shuffle=False)
             .materialize()  # node-grained; stops the lazy graph re-running rounds
         )
 

@@ -264,3 +264,63 @@ def test_neardup_keep_decision(ray_session):
         expect = g[g["n_chars"] == mx]["doc_id"].min()
         assert kept["doc_id"].iloc[0] == expect, cid
         assert (g["kept_id"] == expect).all(), cid
+
+
+def test_cc_min_label_long_chain_and_random_graph(ray_session):
+    """Round-5 scale finding: threshold-graph edge sets are NOT
+    near-cliques — a path graph has diameter n-1 and a sparse random
+    graph has diameter O(log n). The pointer-halving shortcut must
+    converge both well inside the round budget, and labels must equal
+    the true per-component minimum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_api_ray.pipelines.text import cc_min_label
+
+    # path graph 0-1-2-...-199: one component, min label 0, diameter 199
+    n = 200
+    path = pa.table(
+        {
+            "doc_a": pa.array(np.arange(n - 1), pa.int64()),
+            "doc_b": pa.array(np.arange(1, n), pa.int64()),
+        }
+    )
+    labels = cc_min_label(rd.from_arrow(path), n_buckets=8).to_pandas()
+    assert len(labels) == n
+    assert (labels["lbl"] == 0).all()
+
+    # sparse random graph (the sf1 cross-replica regime): compare against
+    # a driver-side union-find ground truth
+    rng = np.random.default_rng(3)
+    m = 600
+    a = rng.integers(0, 500, m)
+    b = rng.integers(0, 500, m)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    parent = np.arange(500)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    truth = {}
+    for node in set(a) | set(b):
+        truth[node] = min(
+            v for v in (set(a) | set(b)) if find(v) == find(node)
+        )
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(a.astype(np.int64), pa.int64()),
+            "doc_b": pa.array(b.astype(np.int64), pa.int64()),
+        }
+    )
+    got = cc_min_label(rd.from_arrow(pairs), n_buckets=8).to_pandas()
+    got_map = dict(zip(got["node"], got["lbl"]))
+    assert got_map == truth
