@@ -39,8 +39,8 @@ _PRIORITY = (
     "q_embedding_dup_clusters",  # CC kernel vs WITH RECURSIVE oracle (VERDICT #5)
     "q_doc_source_stats",        # per-source provenance rollup (VERDICT #8)
     # --- changed in r05: every hash-checked finalizer that moved from
-    #     np.round(x, d) to util.round_sql_double (VERDICT #3) needs a
-    #     fresh driver row on the new kernel
+    #     numpy decimals-arg rounding to util.round_sql_double (VERDICT
+    #     #3) needs a fresh driver row on the new kernel
     "q_events_range_join",
     "q_events_user_range_join",
     "q_embedding_label_centroid",
