@@ -3,7 +3,13 @@
 arbitrary sf directory — the round-5 scale-decade evidence tool.
 
     GRAFT_TEST_SF=/tmp/testdata_sf1 python replica_check.py \
-        [--out /tmp/replica_sf1.json] [--oracle-timeout 900] [-k substr]
+        [--out /tmp/replica_sf1.json] [--oracle-timeout 900] [-k substr] \
+        [--resume /tmp/replica_sf1.jsonl]
+
+With --resume PATH, each query's row is appended to PATH as it lands and
+queries already present in PATH are skipped on relaunch — a killed run
+(host restart, session death) continues where it stopped instead of
+starting over.
 
 Runs EVERY registry query (not just the driver window): engine result at
 RAY_GRAFT_CPUS (default 32), oracle SQL through DuckDB on the same
@@ -74,12 +80,30 @@ def values_equal(a, b) -> bool:
     return True
 
 
+def emit(resume_path, name, row) -> None:
+    print(json.dumps({name: row}), flush=True)
+    if resume_path:
+        with open(resume_path, "a") as f:
+            f.write(json.dumps({name: row}) + "\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--oracle-timeout", type=float, default=900.0)
     ap.add_argument("-k", default="", help="only queries containing substr")
+    ap.add_argument("--resume", default=None,
+                    help="JSONL path: append rows as they land, skip queries already recorded")
     args = ap.parse_args()
+
+    done: dict = {}
+    if args.resume and os.path.exists(args.resume):
+        with open(args.resume) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    done.update(json.loads(line))
+        print(f"resume: {len(done)} queries already recorded", flush=True)
 
     import ray
 
@@ -96,9 +120,11 @@ def main() -> None:
     from docling_api_ray.registry import all_oracles, all_queries
 
     queries, oracles = all_queries(), all_oracles()
-    results = {}
+    results = dict(done)
     for name, fn in queries.items():
         if args.k and args.k not in name:
+            continue
+        if name in done:
             continue
         row: dict = {}
         t0 = time.time()
@@ -119,7 +145,7 @@ def main() -> None:
             row["engine_sec"] = round(time.time() - t0, 3)
             row["err"] = f"engine: {type(exc).__name__}: {exc}"
             results[name] = row
-            print(json.dumps({name: row}), flush=True)
+            emit(args.resume, name, row)
             continue
         sql = oracles.get(name)
         if sql is None:
@@ -146,7 +172,7 @@ def main() -> None:
                     else f"oracle: {type(exc).__name__}: {msg[:200]}"
                 )
         results[name] = row
-        print(json.dumps({name: row}), flush=True)
+        emit(args.resume, name, row)
     ray.shutdown()
     n_hash = sum(1 for r in results.values() if r.get("hash_match"))
     n_sql = sum(1 for r in results.values() if "hash_match" in r)
